@@ -1,0 +1,137 @@
+"""SIFT descriptor matching: batched ratio-test + cross-check matching.
+
+Rebuilds the capability of COLMAP's ``MatchSiftFeaturesCPU`` as called by the
+reference's sequential matching kernel
+(/root/reference/integration/op_cpp/sequential_matching.cc:154-155), TPU-first:
+the N×M descriptor similarity is one MXU matmul; best/second-best selection,
+the angular ratio test, and the cross check are fused elementwise work on the
+VPU. A whole overlap window of pairs is matched as one batched einsum
+(the reference loops pairs serially per stencil row).
+
+Conventions (matching COLMAP semantics):
+- descriptors are L2-normalized rows; similarity = dot product in [0, 1]
+- distance = arccos(similarity); ``max_distance`` and the ratio test are
+  applied in this angular space
+- invalid (padded) keypoints are masked out of both sides
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def normalize_descriptors(desc: jax.Array) -> jax.Array:
+    """L2-normalize descriptor rows (uint8 COLMAP-style 512-scaled or float)."""
+    d = desc.astype(jnp.float32)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+
+
+def _top2(sim: jax.Array):
+    """Row-wise best and second-best similarity + best index. sim: (N, M)."""
+    best_idx = jnp.argmax(sim, axis=-1)
+    best = jnp.take_along_axis(sim, best_idx[:, None], axis=-1)[:, 0]
+    masked = jnp.where(
+        jax.nn.one_hot(best_idx, sim.shape[-1], dtype=jnp.bool_), NEG, sim
+    )
+    second = jnp.max(masked, axis=-1)
+    return best, second, best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cross_check",))
+def match_descriptors(
+    desc1: jax.Array,
+    desc2: jax.Array,
+    valid1: jax.Array,
+    valid2: jax.Array,
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+):
+    """Match desc1 (N,128) against desc2 (M,128) with masks.
+
+    Returns (match_idx (N,) int32 into desc2 or -1, valid (N,) bool).
+    Semantics follow COLMAP FindBestMatches: angular distance threshold,
+    Lowe ratio test in angular space, optional mutual-best cross check.
+    """
+    d1 = normalize_descriptors(desc1)
+    d2 = normalize_descriptors(desc2)
+    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # (N, M) MXU
+    sim = jnp.where(valid2[None, :], sim, NEG)
+
+    best, second, best_idx = _top2(sim)
+    dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    dist2 = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+
+    ok = valid1
+    ok &= best > -1.0  # at least one valid target
+    ok &= dist < max_distance
+    ok &= dist < max_ratio * dist2
+
+    if cross_check:
+        sim_r = jnp.where(valid1[:, None], sim, NEG)
+        rev_best = jnp.argmax(sim_r, axis=0)  # (M,) best row for each col
+        ok &= rev_best[best_idx] == jnp.arange(desc1.shape[0])
+
+    return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
+
+
+@functools.partial(jax.jit, static_argnames=("cross_check",))
+def match_window(
+    desc: jax.Array,
+    valid: jax.Array,
+    max_ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+):
+    """Sequential-overlap matching for one window of images.
+
+    desc: (W, K, 128) — image 0 is the pivot, images 1..W-1 its window
+    (the reference's stencil: feature_matching.py:43, each row sees the next
+    ``overlap`` rows). Returns (match_idx (W-1, K), valid (W-1, K)) matching
+    pivot keypoints into each window image.
+
+    The W-1 pair similarities run as ONE batched einsum on the MXU.
+    """
+    d = normalize_descriptors(desc)
+    d0 = d[0]  # (K, 128)
+    dw = d[1:]  # (W-1, K, 128)
+    sim = jnp.einsum("kd,wmd->wkm", d0, dw, preferred_element_type=jnp.float32)
+    sim = jnp.where(valid[1:, None, :], sim, NEG)
+
+    def per_pair(s, v2):
+        best_idx = jnp.argmax(s, axis=-1)
+        best = jnp.take_along_axis(s, best_idx[:, None], axis=-1)[:, 0]
+        masked = jnp.where(jax.nn.one_hot(best_idx, s.shape[-1], dtype=jnp.bool_), NEG, s)
+        second = jnp.max(masked, axis=-1)
+        dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+        dist2 = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+        ok = valid[0]
+        ok &= best > -1.0
+        ok &= dist < max_distance
+        ok &= dist < max_ratio * dist2
+        if cross_check:
+            s_r = jnp.where(valid[0][:, None], s, NEG)
+            rev_best = jnp.argmax(s_r, axis=0)
+            ok &= rev_best[best_idx] == jnp.arange(s.shape[0])
+        return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
+
+    return jax.vmap(per_pair)(sim, valid[1:])
+
+
+def matches_to_pairs(match_idx, match_valid, max_num_matches: int):
+    """Compact (K,) match indices into fixed-capacity (max_num_matches, 2)
+    index pairs + mask, jit-safe (stable argsort on validity)."""
+    K = match_idx.shape[0]
+    order = jnp.argsort(~match_valid, stable=True)  # valid first
+    idx1 = order[:max_num_matches]
+    idx2 = match_idx[idx1]
+    m = match_valid[idx1]
+    count_ok = jnp.arange(max_num_matches) < jnp.sum(match_valid)
+    m &= count_ok
+    pairs = jnp.stack([idx1.astype(jnp.int32), idx2.astype(jnp.int32)], axis=-1)
+    return jnp.where(m[:, None], pairs, -1), m

@@ -1,0 +1,177 @@
+"""Layered configuration: one dataclass tree, CLI-overridable, JSON-serializable.
+
+Replaces the reference's three config tiers (argparse flags per driver,
+protobuf op-args, hardcoded COLMAP defaults — SURVEY §5) with a single
+pipeline → stage → kernel dataclass hierarchy. Defaults mirror the reference's
+effective values, cited per field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+def _field(**kw):
+    return dataclasses.field(default_factory=lambda: kw)
+
+
+@dataclasses.dataclass
+class SiftConfig:
+    """SIFT extraction (reference defaults: extraction_op.cc:95-100 uses stock
+    colmap SiftExtractionOptions; max_image_size via proto/CLI)."""
+    max_image_size: int = 1024          # reference README step 2 suggests downscale
+    max_num_features: int = 2048        # padded keypoint capacity per image
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    first_octave: int = 0               # COLMAP uses -1 (upsample); 0 is cheaper
+    peak_threshold: float = 0.0067      # 0.02/3 like COLMAP
+    edge_threshold: float = 10.0
+    init_sigma: float = 1.6
+    upright: bool = False
+
+
+@dataclasses.dataclass
+class MatchingConfig:
+    """Descriptor matching + two-view geometry (colmap.proto:6-65 defaults)."""
+    overlap: int = 10                   # SequentialMatchingArgs.overlap=10 (colmap.proto:59)
+    quadratic_overlap: bool = False     # colmap.proto:61-65 (unused flag in ref)
+    max_ratio: float = 0.8              # colmap.proto:8
+    max_distance: float = 0.7           # colmap.proto:11
+    cross_check: bool = True            # colmap.proto:14
+    max_num_matches: int = 1024         # capacity (ref: 32768, colmap.proto:17)
+    max_error: float = 4.0              # RANSAC inlier threshold px (colmap.proto:20)
+    confidence: float = 0.999           # colmap.proto:23
+    min_num_trials: int = 30            # colmap.proto:26
+    max_num_trials: int = 1000          # static RANSAC batch (ref 10000, colmap.proto:29)
+    min_inlier_ratio: float = 0.25      # colmap.proto:32
+    min_num_inliers: int = 15           # colmap.proto:35
+    multiple_models: bool = False       # colmap.proto:38
+    guided_matching: bool = False       # colmap.proto:41
+
+
+@dataclasses.dataclass
+class MapperConfig:
+    """Incremental mapping (reference: stock IncrementalMapperOptions,
+    incremental_mapping.cc:283, + cluster semantics from
+    incremental_mapping.py:57-87)."""
+    cluster_size: int = 20
+    cluster_overlap: int = 5
+    init_min_num_inliers: int = 50     # min TVG inliers for the initial pair
+    init_min_tri_angle_deg: float = 4.0
+    abs_pose_max_error: float = 12.0    # COLMAP abs_pose_max_error (px)
+    abs_pose_min_num_inliers: int = 30
+    abs_pose_min_inlier_ratio: float = 0.25
+    min_tri_angle_deg: float = 1.5      # triangulation filter
+    filter_max_reproj_error: float = 4.0
+    max_reg_trials: int = 3
+    # BA schedule (incremental_mapping.cc:86-139, 339-350)
+    ba_local_max_num_iterations: int = 25
+    ba_local_max_refinements: int = 2
+    ba_local_max_refinement_change: float = 0.001
+    ba_global_max_num_iterations: int = 50
+    ba_global_max_refinements: int = 5
+    ba_global_max_refinement_change: float = 0.0005
+    ba_global_images_ratio: float = 1.1
+    ba_global_points_ratio: float = 1.1
+    ba_global_images_freq: int = 500
+    ba_global_points_freq: int = 250000
+    # capacities (padding) for the jitted solves
+    max_images: int = 64
+    max_points: int = 32768
+    max_obs_per_image: int = 2048
+
+
+@dataclasses.dataclass
+class MergeConfig:
+    """Submodel merging (merge_mapping.cc:17,61: kMaxReprojError=64)."""
+    max_reproj_error: float = 64.0
+    min_common_images: int = 3
+
+
+@dataclasses.dataclass
+class PatchMatchConfig:
+    """PatchMatch stereo (reference options patch_match.cc:74-102)."""
+    overlap: int = 5                    # ref CLI default 10 source views
+    window_radius: int = 5
+    num_iterations: int = 5
+    num_samples: int = 15
+    sigma_spatial: float = 5.0
+    sigma_color: float = 0.2
+    depth_min_factor: float = 0.75      # widen sparse depth range like COLMAP
+    depth_max_factor: float = 1.25
+    max_image_size: int = 400
+    geom_consistency: bool = False      # ref disables (patch_match.cc:84)
+    filter_min_ncc: float = 0.1
+
+
+@dataclasses.dataclass
+class FusionConfig:
+    """Stereo fusion (semantics from COLMAP StereoFusion, which the reference's
+    broken stereo_fusion.cc:40 cites as its source)."""
+    min_num_consistent: int = 2         # COLMAP check_num_images default 50 is for BFS; voting needs >=2
+    max_reproj_error: float = 2.0
+    max_depth_error: float = 0.01       # relative
+    max_normal_error_deg: float = 10.0
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """Device mesh + packetization (replaces io/work_packet_size)."""
+    batch_size: int = 8                 # images per device step (≈ work_packet_size)
+    mesh_axes: tuple = ("data",)
+    num_devices: int = 0                # 0 = all available
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    image_path: str = ""
+    store_path: str = "artifacts"
+    sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
+    matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
+    mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+    merge: MergeConfig = dataclasses.field(default_factory=MergeConfig)
+    patch_match: PatchMatchConfig = dataclasses.field(default_factory=PatchMatchConfig)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    # ---- (de)serialization ------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        cfg = cls()
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            cur = getattr(cfg, f.name)
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                for k, vv in v.items():
+                    if hasattr(cur, k):
+                        setattr(cur, k, tuple(vv) if isinstance(getattr(cur, k), tuple) else vv)
+            else:
+                setattr(cfg, f.name, v)
+        return cfg
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls.from_dict(json.loads(s))
+
+    def apply_overrides(self, overrides: dict) -> "PipelineConfig":
+        """Apply dotted-key overrides, e.g. {"matching.overlap": 5}."""
+        for key, val in overrides.items():
+            obj = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            cur = getattr(obj, parts[-1])
+            if cur is not None and not isinstance(cur, (dict, tuple, list)):
+                val = type(cur)(val)
+            setattr(obj, parts[-1], val)
+        return self

@@ -1,0 +1,53 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding/collective logic is
+exercised on XLA's host platform with 8 virtual devices instead (the driver
+separately dry-run-compiles the multi-chip path via __graft_entry__).
+
+The session environment boots an `axon` remote-TPU PJRT plugin from
+sitecustomize (PALLAS_AXON_POOL_IPS) which hooks compilation for every
+backend and makes even CPU eager ops ~3x slower with long sleep-waits. It
+registers at interpreter start — before pytest loads this file — so the only
+clean way out is to re-exec pytest once with the trigger env removed. The
+re-exec must happen after pytest's fd-level capture is released, hence
+pytest_configure + stop_global_capturing.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_ENABLE_X64"] = "true"
+
+_NEEDS_REEXEC = (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("_SCT_TESTS_REEXEC") != "1"
+)
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["_SCT_TESTS_REEXEC"] = "1"
+    args = [sys.executable, "-m", "pytest"] + list(config.invocation_params.args)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable, args, env)
+
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

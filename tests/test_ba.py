@@ -1,0 +1,140 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.ops import ba
+
+
+def make_bundle_problem(rng, M=6, P=64, T=6, noise_px=1.0, pose_noise=0.02,
+                        point_noise=0.05, focal=600.0, focal_err=0.0):
+    """Synthetic bundle: GT scene + noisy initialization; P padded, all valid."""
+    # ground-truth cameras in a ring looking at origin-ish cloud
+    q_gt, t_gt = [], []
+    for i in range(M):
+        aa = rng.normal(size=3) * 0.05
+        q = np.asarray(geom.angle_axis_to_quat(aa))
+        t = np.array([i * 0.4 - M * 0.2, 0.0, 0.0]) + rng.normal(size=3) * 0.02
+        q_gt.append(q)
+        t_gt.append(t)
+    q_gt, t_gt = np.stack(q_gt), np.stack(t_gt)
+    pts_gt = rng.uniform(-2, 2, size=(P, 3)) + np.array([0, 0, 6.0])
+
+    # observations: each point seen by T random cameras (here T<=M views)
+    cam_idx = np.stack([rng.permutation(M)[:T] for _ in range(P)])
+    q_o = q_gt[cam_idx]
+    t_o = t_gt[cam_idx]
+    x_cam = np.asarray(geom.pose_transform(q_o, t_o, pts_gt[:, None]))
+    xn = x_cam[..., :2] / x_cam[..., 2:3]
+    cc = np.array([320.0, 240.0])
+    uv = focal * xn + cc
+    uv += rng.normal(size=uv.shape) * noise_px
+    valid = np.ones((P, T), bool)
+
+    # noisy initialization
+    q0 = np.stack([
+        np.asarray(geom.quat_mul(geom.angle_axis_to_quat(rng.normal(size=3) * pose_noise), q))
+        for q in q_gt])
+    t0 = t_gt + rng.normal(size=t_gt.shape) * pose_noise
+    # hold first two cameras at ground truth (gauge)
+    q0[:2], t0[:2] = q_gt[:2], t_gt[:2]
+    pts0 = pts_gt + rng.normal(size=pts_gt.shape) * point_noise
+
+    params = ba.BundleParams(
+        qvec=jnp.asarray(q0), tvec=jnp.asarray(t0),
+        log_f=jnp.full(M, np.log(focal * (1 + focal_err))),
+        k1=jnp.zeros(M), xyz=jnp.asarray(pts0))
+    obs = ba.BundleObs(cam_idx=jnp.asarray(cam_idx, jnp.int32),
+                       uv=jnp.asarray(uv), valid=jnp.asarray(valid))
+    cfg = ba.BundleConfig(
+        cc=jnp.broadcast_to(jnp.asarray(cc), (M, 2)),
+        cam_valid=jnp.ones(M, bool),
+        pose_free=ba.make_pose_free(M, fixed_full=[0, 1]),
+        pt_valid=jnp.ones(P, bool),
+        refine_focal=jnp.asarray(False),
+        refine_distortion=jnp.asarray(False),
+        loss_scale=jnp.asarray(4.0),
+    )
+    return params, obs, cfg, (q_gt, t_gt, pts_gt)
+
+
+def test_ba_reduces_cost_and_recovers_geometry(rng):
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(
+        rng, noise_px=0.5)
+    p_out, info = ba.bundle_adjust(params, obs, cfg, max_iterations=30, chunk=32)
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 0.2
+    assert float(info["mean_reproj_px"]) < 1.2
+    # camera poses close to GT
+    q_est = np.asarray(p_out.qvec)
+    t_est = np.asarray(p_out.tvec)
+    for i in range(q_est.shape[0]):
+        dq = min(np.linalg.norm(q_est[i] - q_gt[i]), np.linalg.norm(q_est[i] + q_gt[i]))
+        assert dq < 5e-3, i
+        assert np.linalg.norm(t_est[i] - t_gt[i]) < 2e-2, i
+
+
+def test_ba_noise_free_converges_tight(rng):
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(
+        rng, noise_px=0.0, pose_noise=0.01, point_noise=0.02)
+    p_out, info = ba.bundle_adjust(params, obs, cfg, max_iterations=40, chunk=32)
+    assert float(info["mean_reproj_px"]) < 1e-3
+    assert np.allclose(np.asarray(p_out.xyz), pts_gt, atol=1e-3)
+
+
+def test_ba_fixed_cameras_stay_fixed(rng):
+    params, obs, cfg, _ = make_bundle_problem(rng)
+    p_out, _ = ba.bundle_adjust(params, obs, cfg, max_iterations=5, chunk=32)
+    assert np.allclose(np.asarray(p_out.qvec[:2]), np.asarray(params.qvec[:2]))
+    assert np.allclose(np.asarray(p_out.tvec[:2]), np.asarray(params.tvec[:2]))
+    # intrinsics frozen when refine flags off
+    assert np.allclose(np.asarray(p_out.log_f), np.asarray(params.log_f))
+    assert np.allclose(np.asarray(p_out.k1), np.asarray(params.k1))
+
+
+def test_ba_focal_refinement(rng):
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(
+        rng, noise_px=0.2, focal=600.0, focal_err=0.1)  # 10% focal error
+    cfg = cfg._replace(refine_focal=jnp.asarray(True))
+    p_out, info = ba.bundle_adjust(params, obs, cfg, max_iterations=40, chunk=32)
+    f_est = np.exp(np.asarray(p_out.log_f))
+    # focal recovered within 2% (from 10% off)
+    assert np.all(np.abs(f_est - 600.0) / 600.0 < 0.02), f_est
+    assert float(info["mean_reproj_px"]) < 0.6
+
+
+def test_ba_robust_to_outlier_observations(rng):
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(rng, noise_px=0.3)
+    # corrupt 5% of observations massively
+    uv = np.asarray(obs.uv).copy()
+    n_bad = int(0.05 * uv.shape[0])
+    uv[:n_bad, 0] += 300.0
+    obs = obs._replace(uv=jnp.asarray(uv))
+    p_out, info = ba.bundle_adjust(params, obs, cfg, max_iterations=30, chunk=32)
+    # poses still recovered despite outliers (Cauchy loss)
+    q_est = np.asarray(p_out.qvec)
+    for i in range(q_est.shape[0]):
+        dq = min(np.linalg.norm(q_est[i] - q_gt[i]), np.linalg.norm(q_est[i] + q_gt[i]))
+        assert dq < 1e-2, i
+
+
+def test_ba_7dof_gauge(rng):
+    """COLMAP-style gauge: one full pose + one tvec component fixed."""
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(rng, noise_px=0.3)
+    M = q_gt.shape[0]
+    cfg = cfg._replace(pose_free=ba.make_pose_free(M, fixed_full=[0],
+                                                   fixed_tvec0=[1]))
+    p_out, info = ba.bundle_adjust(params, obs, cfg, max_iterations=30, chunk=32)
+    assert float(info["mean_reproj_px"]) < 1.0
+    # gauge constraints respected exactly
+    assert np.allclose(np.asarray(p_out.qvec[0]), np.asarray(params.qvec[0]))
+    assert np.allclose(np.asarray(p_out.tvec[0]), np.asarray(params.tvec[0]))
+    assert np.isclose(float(p_out.tvec[1, 0]), float(params.tvec[1, 0]))
+
+
+def test_ba_invalid_points_untouched(rng):
+    params, obs, cfg, _ = make_bundle_problem(rng)
+    pt_valid = np.ones(params.xyz.shape[0], bool)
+    pt_valid[10:20] = False
+    cfg = cfg._replace(pt_valid=jnp.asarray(pt_valid))
+    p_out, _ = ba.bundle_adjust(params, obs, cfg, max_iterations=5, chunk=32)
+    assert np.allclose(np.asarray(p_out.xyz[10:20]), np.asarray(params.xyz[10:20]))

@@ -1,0 +1,118 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.ops import two_view
+
+
+def synthetic_pair(rng, n=100, noise=0.0, outlier_frac=0.0, focal=600.0,
+                   planar=False):
+    """Generate a synthetic calibrated two-view problem with known pose."""
+    # camera 1 at origin; camera 2 rotated + translated
+    aa = rng.normal(size=3) * 0.1
+    q = np.asarray(geom.angle_axis_to_quat(aa))
+    t = np.array([1.0, 0.2, 0.1])
+    t /= np.linalg.norm(t)
+    if planar:
+        pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                        np.full(n, 4.0)], axis=1)
+    else:
+        pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                        rng.uniform(3, 8, n)], axis=1)
+    K = np.array([[focal, 0, 320.0], [0, focal, 240.0], [0, 0, 1.0]])
+    x1c = pts
+    x2c = np.asarray(geom.pose_transform(q, t, pts))
+    uv1 = (x1c[:, :2] / x1c[:, 2:3]) * focal + np.array([320.0, 240.0])
+    uv2 = (x2c[:, :2] / x2c[:, 2:3]) * focal + np.array([320.0, 240.0])
+    uv1 += rng.normal(size=uv1.shape) * noise
+    uv2 += rng.normal(size=uv2.shape) * noise
+    n_out = int(outlier_frac * n)
+    if n_out:
+        uv2[:n_out] = rng.uniform(0, 640, size=(n_out, 2))
+    return uv1, uv2, K, q, t, pts
+
+
+def test_fundamental_8pt_exact(rng):
+    uv1, uv2, K, q, t, _ = synthetic_pair(rng, n=50)
+    F = np.asarray(two_view.fundamental_8pt(jnp.asarray(uv1), jnp.asarray(uv2)))
+    err = np.asarray(two_view.sampson_error(jnp.asarray(F), jnp.asarray(uv1), jnp.asarray(uv2)))
+    assert np.max(err) < 1e-6
+    # F consistent with ground-truth E = K^-T F K^-1 up to scale
+    E_gt = np.asarray(geom.essential_from_pose(q, t))
+    E_est = K.T @ F @ K
+    E_est = E_est / np.linalg.norm(E_est)
+    E_gt = E_gt / np.linalg.norm(E_gt)
+    s = np.sign(np.sum(E_est * E_gt))
+    assert np.allclose(s * E_est, E_gt, atol=1e-5)
+
+
+def test_homography_dlt_exact(rng):
+    # pure-rotation pair -> exact homography
+    aa = rng.normal(size=3) * 0.05
+    q = np.asarray(geom.angle_axis_to_quat(aa))
+    R = np.asarray(geom.quat_to_rotmat(q))
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    H_gt = K @ R @ np.linalg.inv(K)
+    uv1 = np.stack([rng.uniform(100, 540, 30), rng.uniform(100, 380, 30)], axis=1)
+    p1 = np.concatenate([uv1, np.ones((30, 1))], axis=1)
+    p2 = p1 @ H_gt.T
+    uv2 = p2[:, :2] / p2[:, 2:3]
+    H = np.asarray(two_view.homography_dlt(jnp.asarray(uv1), jnp.asarray(uv2)))
+    err = np.asarray(two_view.homography_error(jnp.asarray(H), jnp.asarray(uv1), jnp.asarray(uv2)))
+    assert np.max(err) < 1e-8
+
+
+def test_ransac_fundamental_with_outliers(rng):
+    uv1, uv2, K, q, t, _ = synthetic_pair(rng, n=200, noise=0.3, outlier_frac=0.3)
+    valid = np.ones(200, bool)
+    key = jax.random.PRNGKey(0)
+    F, inl, n_inl, _ = two_view.ransac(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(valid),
+        two_view._solver_with_mask(two_view.fundamental_8pt),
+        two_view.sampson_error, num_trials=256, sample_size=8, max_error=4.0)
+    inl = np.asarray(inl)
+    assert int(n_inl) > 120
+    # outliers (first 60) mostly rejected
+    assert inl[:60].mean() < 0.15
+    assert inl[60:].mean() > 0.9
+
+
+def test_estimate_two_view_geometry_calibrated(rng):
+    uv1, uv2, K, q_gt, t_gt, _ = synthetic_pair(rng, n=150, noise=0.3, outlier_frac=0.2)
+    key = jax.random.PRNGKey(1)
+    tvg = two_view.estimate_two_view_geometry(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(150, bool),
+        jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) in (two_view.CALIBRATED, two_view.UNCALIBRATED)
+    assert int(tvg.num_inliers) > 90
+    # relative pose close to ground truth
+    q_est = np.asarray(tvg.qvec)
+    t_est = np.asarray(tvg.tvec)
+    dq = min(np.linalg.norm(q_est - np.asarray(q_gt)), np.linalg.norm(q_est + np.asarray(q_gt)))
+    assert dq < 0.02
+    cos_t = abs(np.dot(t_est, t_gt))
+    assert cos_t > 0.995
+    assert float(tvg.tri_angle) > 0.01
+
+
+def test_estimate_two_view_geometry_planar(rng):
+    uv1, uv2, K, q_gt, t_gt, _ = synthetic_pair(rng, n=120, noise=0.2, planar=True)
+    key = jax.random.PRNGKey(2)
+    tvg = two_view.estimate_two_view_geometry(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(120, bool),
+        jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) == two_view.PLANAR_OR_PANORAMIC
+
+
+def test_estimate_two_view_geometry_degenerate(rng):
+    # random garbage matches -> degenerate
+    uv1 = rng.uniform(0, 640, size=(60, 2))
+    uv2 = rng.uniform(0, 640, size=(60, 2))
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    key = jax.random.PRNGKey(3)
+    tvg = two_view.estimate_two_view_geometry(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(60, bool),
+        jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) == two_view.DEGENERATE
+    assert int(tvg.num_inliers) == 0
