@@ -1,0 +1,127 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Run on real TPU hardware by the round driver. Primary metric: sparse
+pipeline throughput (images registered per second) on a synthetic
+Gerrard-Hall-scale collection, including SIFT + matching + two-view
+geometry + clustered incremental mapping with BA — the end-to-end number
+the north star asks for (BASELINE.json). Secondary metrics (BA iter/s,
+matching pairs/s, ATE) are included in the JSON for the record.
+
+vs_baseline: the reference publishes no numbers (SURVEY §6); BASELINE.md's
+target is >= 3x COLMAP-CPU end-to-end throughput. We use COLMAP-CPU's
+commonly observed ~0.5 images/s on ~100-image collections (sparse, single
+node, all stages) as the nominal baseline, so vs_baseline = value / 0.5.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    # persistent compile cache: the first round pays remote compiles once;
+    # later rounds (and the warm second pass below) hit the cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import numpy as np
+    import jax
+
+    from scanner_colmap_tpu.pipeline import stages, synth
+    from scanner_colmap_tpu.utils.config import PipelineConfig
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    num_images = int(os.environ.get("BENCH_NUM_IMAGES", "16"))
+    workdir = tempfile.mkdtemp(prefix="sct_bench_")
+    image_dir = os.path.join(workdir, "images")
+    log(f"devices: {jax.devices()}")
+    log(f"rendering {num_images} synthetic images")
+    gt = synth.generate_dataset(image_dir, num_images=num_images,
+                                width=480, height=360, num_blobs=500, seed=3)
+
+    cfg = PipelineConfig()
+    cfg.image_path = image_dir
+    cfg.store_path = os.path.join(workdir, "store")
+    cfg.sift.max_image_size = 480
+    cfg.sift.max_num_features = 1024
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 6
+    cfg.matching.min_num_inliers = 12
+    cfg.mapper.cluster_size = 12
+    cfg.mapper.cluster_overlap = 4
+    cfg.mapper.init_min_num_inliers = 20
+    cfg.mapper.abs_pose_min_num_inliers = 12
+
+    store = ArtifactStore(cfg.store_path)
+    stages.prepare_images(cfg, store)
+
+    # warmup pass pays the jit compiles; the second pass times steady state
+    log("extraction (compile warmup)")
+    stages.run_extraction(cfg, store)
+    log("extraction (timed)")
+    t0 = time.time()
+    stages.run_extraction(cfg, store)
+    t_extract = time.time() - t0
+
+    log("matching")
+    t0 = time.time()
+    n_pairs = stages.run_matching(cfg, store)
+    t_match = time.time() - t0
+
+    log("mapping")
+    t0 = time.time()
+    stages.run_mapping(cfg, store)
+    t_map = time.time() - t0
+    model = stages.run_merge(cfg, store)
+    log(f"mapped {model.num_registered} images")
+
+    n_reg = model.num_registered
+    total_t = t_extract + t_match + t_map
+    images_per_s = n_reg / max(total_t, 1e-9)
+    ate = synth.evaluate_ate(model, gt)
+
+    # BA iterations/sec microbench on the flagship solve. Shapes chosen to
+    # REUSE the jit signature the mapper already compiled (M=16 cameras,
+    # P=1024 points, T=16 track slots, 25 iterations, chunk=1024) so this
+    # costs no extra compile on a cold cache.
+    log("BA microbench")
+    from __graft_entry__ import _synthetic_bundle
+    from scanner_colmap_tpu.ops import ba
+
+    params, obs, cfg_ba, _, _ = _synthetic_bundle(M=16, Pn=1024, T=16)
+    t0 = time.time()
+    p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
+                                   chunk=1024, function_tolerance=0.0)
+    jax.block_until_ready(p_out.xyz)
+    ba_iters_per_s = int(info["iterations"]) / max(time.time() - t0, 1e-9)
+    log(f"BA: {ba_iters_per_s:.2f} iters/s")
+
+    baseline_images_per_s = 0.5  # nominal COLMAP-CPU e2e sparse (see docstring)
+    result = {
+        "metric": "sparse_pipeline_images_registered_per_sec",
+        "value": round(images_per_s, 3),
+        "unit": "images/s",
+        "vs_baseline": round(images_per_s / baseline_images_per_s, 2),
+        "detail": {
+            "num_images": num_images,
+            "registered": int(n_reg),
+            "ate": round(float(ate), 4),
+            "mean_reproj_px": round(model.mean_reprojection_error(), 3),
+            "extraction_s": round(t_extract, 2),
+            "matching_s": round(t_match, 2),
+            "mapping_s": round(t_map, 2),
+            "verified_pairs": int(n_pairs),
+            "ba_iters_per_sec": round(ba_iters_per_s, 2),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

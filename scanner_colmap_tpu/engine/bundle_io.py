@@ -117,6 +117,10 @@ def pack_bundle(
         refine_focal=jnp.asarray(False),
         refine_distortion=jnp.asarray(False),
         loss_scale=jnp.asarray(np.asarray(4.0, dtype)),
+        prior_log_f=jnp.asarray(log_f),
+        prior_k1=jnp.zeros(M, dtype),
+        prior_weight_f=jnp.asarray(np.asarray(0.0, dtype)),
+        prior_weight_k=jnp.asarray(np.asarray(0.0, dtype)),
     )
     meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
     return params, obs, cfg, meta

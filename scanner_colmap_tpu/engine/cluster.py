@@ -1,0 +1,105 @@
+"""Cluster scheduling for scalable mapping: overlapping key-image clusters,
+independent per-cluster reconstruction, then Sim(3) merge.
+
+Rebuilds the reference's clustered mapping semantics
+(/root/reference/integration/incremental_mapping.py:57-87 +
+incremental_mapping.cc:268-373): images are ordered; each cluster covers
+``cluster_size`` consecutive images and shares ``cluster_overlap`` images
+with its neighbor (step = cluster_size − cluster_overlap) so that submodels
+can be aligned for merging (README.md:49). The reference realizes this with
+Scanner stencils + stride-sampled lazy rows; here it is an explicit index
+schedule, and clusters are independent work units that shard across hosts /
+run sequentially on one (SURVEY §2.2 parallelism #3).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from scanner_colmap_tpu.engine.correspondence import CorrespondenceGraph, make_graph
+from scanner_colmap_tpu.engine.incremental import IncrementalMapper
+from scanner_colmap_tpu.engine.merge import merge_all
+from scanner_colmap_tpu.models.reconstruction import Reconstruction
+from scanner_colmap_tpu.utils.config import MapperConfig, MergeConfig
+
+log = logging.getLogger(__name__)
+
+
+def make_clusters(image_ids: Sequence[int], cluster_size: int,
+                  cluster_overlap: int) -> List[List[int]]:
+    """Overlapping windows over the ordered image list."""
+    if cluster_overlap >= cluster_size:
+        raise ValueError("cluster_overlap must be < cluster_size")
+    ids = list(image_ids)
+    step = cluster_size - cluster_overlap
+    if len(ids) <= cluster_size:
+        return [ids]
+    clusters = []
+    start = 0
+    while start < len(ids):
+        c = ids[start:start + cluster_size]
+        if len(c) >= 2:
+            clusters.append(c)
+        if start + cluster_size >= len(ids):
+            break
+        start += step
+    return clusters
+
+
+def subgraph(graph: CorrespondenceGraph, two_view: Dict, members: Sequence[int]):
+    """Restrict the correspondence graph + TVGs to a cluster's images."""
+    mset = set(members)
+    g = make_graph()
+    for i in members:
+        g.add_image(i, graph.num_keypoints(i))
+    for (i, j) in graph.pairs:
+        if i in mset and j in mset:
+            # re-derive pairs from per-keypoint adjacency
+            pairs = []
+            for k1 in range(graph.num_keypoints(i)):
+                for (jj, k2) in graph.correspondences(i, k1):
+                    if jj == j:
+                        pairs.append((k1, k2))
+            if pairs:
+                g.add_matches(i, j, np.asarray(pairs))
+    tv = {k: v for k, v in two_view.items() if k[0] in mset and k[1] in mset}
+    return g, tv
+
+
+def run_clustered_mapping(
+    keypoints: Dict[int, np.ndarray],
+    cameras: Dict,
+    graph: CorrespondenceGraph,
+    two_view: Dict,
+    config: Optional[MapperConfig] = None,
+    merge_config: Optional[MergeConfig] = None,
+    merge: bool = True,
+):
+    """Cluster → reconstruct → (optionally) merge.
+
+    Returns (final model or None, list of per-cluster submodels). Empty
+    submodels are dropped (the role of the reference's
+    remove_empty_reconstruction.py stage).
+    """
+    cfg = config or MapperConfig()
+    ids = sorted(keypoints.keys())
+    clusters = make_clusters(ids, cfg.cluster_size, cfg.cluster_overlap)
+    submodels: List[Reconstruction] = []
+    for ci, members in enumerate(clusters):
+        g, tv = subgraph(graph, two_view, members)
+        mapper = IncrementalMapper(
+            {i: keypoints[i] for i in members},
+            {i: cameras[i] for i in members}, g, tv, cfg, seed=ci)
+        rec = mapper.reconstruct()
+        log.info("cluster %d/%d: %d/%d images registered, %d points",
+                 ci + 1, len(clusters), rec.num_registered, len(members),
+                 len(rec.points3D))
+        if rec.num_registered >= 2:
+            submodels.append(rec)
+    if not merge:
+        return None, submodels
+    model = merge_all(submodels, merge_config) if submodels else Reconstruction()
+    return model, submodels

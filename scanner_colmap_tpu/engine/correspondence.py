@@ -16,8 +16,33 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
+def make_graph(prefer_native: bool = True):
+    """Correspondence graph factory: the native C++ graph when the toolchain
+    is available (engine/native_graph.py), else this module's Python one.
+    Both satisfy the same query contract; the native one additionally offers
+    fast scans (has_fast_scans)."""
+    if prefer_native:
+        try:
+            from scanner_colmap_tpu.engine.native_graph import (
+                NativeCorrespondenceGraph,
+            )
+
+            return NativeCorrespondenceGraph()
+        except Exception:
+            pass
+    return CorrespondenceGraph()
+
+
 class CorrespondenceGraph:
     """Bidirectional (image, keypoint) correspondence adjacency."""
+
+    has_fast_scans = False
+
+    def set_point(self, image_id, kp_idx, pid):
+        """No-op: the python graph queries reconstruction state directly."""
+
+    def set_registered(self, image_id, registered):
+        """No-op (see set_point)."""
 
     def __init__(self):
         # corr[image_id] : list per keypoint of [(other_image, other_kp), ...]

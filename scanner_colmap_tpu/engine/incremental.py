@@ -48,7 +48,10 @@ class IncrementalMapper:
 
     def __init__(self, keypoints, cameras, graph: CorrespondenceGraph,
                  two_view, config: Optional[MapperConfig] = None, seed: int = 0):
-        self.kp = {i: np.asarray(k, np.float64) for i, k in keypoints.items()}
+        # keypoints may carry (x, y) or full (x, y, scale, ori) rows — the
+        # engine only consumes positions
+        self.kp = {i: np.asarray(k, np.float64)[:, :2]
+                   for i, k in keypoints.items()}
         self.cam_info = cameras
         self.graph = graph
         self.two_view = two_view
@@ -56,15 +59,21 @@ class IncrementalMapper:
         self.rec = Reconstruction()
         self.key = jax.random.PRNGKey(seed)
         self.num_reg_trials: Dict[int, int] = {}
+        self._kp_norm_cache: Dict[int, np.ndarray] = {}
+        if getattr(graph, "has_fast_scans", False):
+            # mirror point assignments into the native graph's index
+            self.rec.observer = graph.set_point
         self._num_total_reg_images = 0
         # growth trackers for global-BA triggers (ref :339-350)
         self._ba_prev_num_reg = 0
         self._ba_prev_num_points = 0
 
+        self._init_log_f: Dict[int, float] = {}
         for iid, kps in self.kp.items():
             model_id, params, w, h, prior = self.cam_info[iid]
             self.rec.add_camera(Camera(iid, model_id, w, h,
                                        np.array(params, np.float64), prior))
+            self._init_log_f[iid] = float(np.log(max(params[0], 1e-6)))
             self.rec.add_image(Image(
                 image_id=iid, camera_id=iid, name=f"image_{iid}",
                 xys=kps.copy(),
@@ -81,9 +90,21 @@ class IncrementalMapper:
         cam = self.rec.cameras[self.rec.images[image_id].camera_id]
         return np.int32(cam.model_id), cam.params_padded
 
+    _image_to_cam_jit = staticmethod(jax.jit(camlib.image_to_cam))
+
     def _normalize(self, image_id, uv: np.ndarray) -> np.ndarray:
         mid, p = self._cam_arrays(image_id)
-        return np.asarray(camlib.image_to_cam(mid, jnp.asarray(p), jnp.asarray(uv)))
+        return np.asarray(self._image_to_cam_jit(
+            jnp.asarray(mid), jnp.asarray(p), jnp.asarray(uv)))
+
+    def _kp_norm(self, image_id) -> np.ndarray:
+        """Normalized coords of ALL keypoints, cached (one device call per
+        image — the engine reads single rows from this in its inner loops)."""
+        cached = self._kp_norm_cache.get(image_id)
+        if cached is None:
+            cached = self._normalize(image_id, self.kp[image_id])
+            self._kp_norm_cache[image_id] = cached
+        return cached
 
     def _focal(self, image_id) -> float:
         cam = self.rec.cameras[self.rec.images[image_id].camera_id]
@@ -91,6 +112,10 @@ class IncrementalMapper:
 
     def point3D_of(self, image_id, kp_idx) -> int:
         return int(self.rec.images[image_id].point3D_ids[kp_idx])
+
+    def _set_registered(self, image_id: int, registered: bool):
+        self.rec.images[image_id].registered = registered
+        self.graph.set_registered(image_id, registered)
 
     # ------------------------------------------------------------------
     # initial pair (ref :305-313)
@@ -125,7 +150,8 @@ class IncrementalMapper:
         im1.tvec = np.zeros(3)
         im2.qvec = qrel.copy()
         im2.tvec = trel.copy()
-        im1.registered = im2.registered = True
+        self._set_registered(image_id1, True)
+        self._set_registered(image_id2, True)
         self._num_total_reg_images = 2
         n = self.triangulate_image(image_id1)
         log.info("initial pair (%d, %d): %d points", image_id1, image_id2, n)
@@ -152,24 +178,28 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     def register_next_image(self, image_id: int) -> bool:
         self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
-        corr2d3d = []  # (kp_idx, pid)
-        seen_kp = set()
-        for kp_idx in range(len(self.kp[image_id])):
-            for (j, kj) in self.graph.correspondences(image_id, kp_idx):
-                if not self.rec.images[j].registered:
-                    continue
-                pid = self.point3D_of(j, kj)
-                if pid >= 0 and kp_idx not in seen_kp:
-                    corr2d3d.append((kp_idx, pid))
-                    seen_kp.add(kp_idx)
-                    break
+        if self.graph.has_fast_scans:
+            kps_f, pids_f = self.graph.corrs_2d3d(image_id)
+            corr2d3d = [(int(k), int(p)) for k, p in zip(kps_f, pids_f)
+                        if int(p) in self.rec.points3D]
+        else:
+            corr2d3d = []  # (kp_idx, pid)
+            seen_kp = set()
+            for kp_idx in range(len(self.kp[image_id])):
+                for (j, kj) in self.graph.correspondences(image_id, kp_idx):
+                    if not self.rec.images[j].registered:
+                        continue
+                    pid = self.point3D_of(j, kj)
+                    if pid >= 0 and kp_idx not in seen_kp:
+                        corr2d3d.append((kp_idx, pid))
+                        seen_kp.add(kp_idx)
+                        break
         if len(corr2d3d) < max(6, self.cfg.abs_pose_min_num_inliers // 2):
             return False
 
         kp_idx = np.array([c[0] for c in corr2d3d])
         pids = [c[1] for c in corr2d3d]
-        uv = self.kp[image_id][kp_idx]
-        xn = self._normalize(image_id, uv)
+        xn = self._kp_norm(image_id)[kp_idx]
         x3d = np.stack([self.rec.points3D[p].xyz for p in pids])
 
         N = next_pow2(len(corr2d3d), 64)
@@ -193,7 +223,7 @@ class IncrementalMapper:
         im = self.rec.images[image_id]
         im.qvec = np.asarray(res.qvec)
         im.tvec = np.asarray(res.tvec)
-        im.registered = True
+        self._set_registered(image_id, True)
         self._num_total_reg_images += 1
 
         # attach inlier observations to their tracks
@@ -201,7 +231,7 @@ class IncrementalMapper:
         for (k, pid), ok in zip(corr2d3d, inl):
             if ok and pid in self.rec.points3D and im.point3D_ids[k] < 0:
                 self.rec.points3D[pid].track.append((image_id, int(k)))
-                im.point3D_ids[k] = pid
+                self.rec.set_point3D_id(image_id, int(k), pid)
         return True
 
     # ------------------------------------------------------------------
@@ -215,43 +245,56 @@ class IncrementalMapper:
             return 0
 
         # 1. continuation: link keypoints to existing points via corrs
-        for kp_idx in range(len(self.kp[image_id])):
-            if im.point3D_ids[kp_idx] >= 0:
-                continue
-            for (j, kj) in self.graph.correspondences(image_id, kp_idx):
-                if not self.rec.images[j].registered:
-                    continue
-                pid = self.point3D_of(j, kj)
-                if pid < 0:
+        if self.graph.has_fast_scans:
+            kps_f, pids_f = self.graph.continuations(image_id)
+            for kp_idx, pid in zip(kps_f, pids_f):
+                kp_idx, pid = int(kp_idx), int(pid)
+                if pid not in self.rec.points3D or im.point3D_ids[kp_idx] >= 0:
                     continue
                 if self._observation_fits(image_id, kp_idx, pid):
                     self.rec.points3D[pid].track.append((image_id, kp_idx))
-                    im.point3D_ids[kp_idx] = pid
-                break
+                    self.rec.set_point3D_id(image_id, kp_idx, pid)
+        else:
+            for kp_idx in range(len(self.kp[image_id])):
+                if im.point3D_ids[kp_idx] >= 0:
+                    continue
+                for (j, kj) in self.graph.correspondences(image_id, kp_idx):
+                    if not self.rec.images[j].registered:
+                        continue
+                    pid = self.point3D_of(j, kj)
+                    if pid < 0:
+                        continue
+                    if self._observation_fits(image_id, kp_idx, pid):
+                        self.rec.points3D[pid].track.append((image_id, kp_idx))
+                        self.rec.set_point3D_id(image_id, kp_idx, pid)
+                    break
 
         # 2. new tracks: unassigned kps with >= 1 registered unassigned corr
-        tracks = []  # list of [(img, kp), ...]
-        for kp_idx in range(len(self.kp[image_id])):
-            if im.point3D_ids[kp_idx] >= 0:
-                continue
-            track = [(image_id, kp_idx)]
-            for (j, kj) in self.graph.correspondences(image_id, kp_idx):
-                if (self.rec.images[j].registered
-                        and self.point3D_of(j, kj) < 0):
-                    track.append((j, kj))
-            if len(track) >= 2:
-                tracks.append(track)
+        if self.graph.has_fast_scans:
+            tracks = self.graph.new_track_candidates(image_id)
+        else:
+            tracks = []  # list of [(img, kp), ...]
+            for kp_idx in range(len(self.kp[image_id])):
+                if im.point3D_ids[kp_idx] >= 0:
+                    continue
+                track = [(image_id, kp_idx)]
+                for (j, kj) in self.graph.correspondences(image_id, kp_idx):
+                    if (self.rec.images[j].registered
+                            and self.point3D_of(j, kj) < 0):
+                        track.append((j, kj))
+                if len(track) >= 2:
+                    tracks.append(track)
         return self._triangulate_tracks(tracks)
 
     def _observation_fits(self, image_id, kp_idx, pid,
                           thr_factor: float = 1.0) -> bool:
         im = self.rec.images[image_id]
         pt = self.rec.points3D[pid]
-        x_cam = np.asarray(geom.pose_transform(im.qvec, im.tvec, pt.xyz))
+        x_cam = geom.np_pose_transform(im.qvec, im.tvec, pt.xyz)
         if x_cam[2] <= 0:
             return False
-        mid, p = self._cam_arrays(image_id)
-        uv = np.asarray(camlib.cam_to_image(mid, jnp.asarray(p), x_cam))
+        cam = self.rec.cameras[im.camera_id]
+        uv = camlib.np_cam_to_image(cam.model_id, cam.params, x_cam)
         err = np.linalg.norm(uv - self.kp[image_id][kp_idx])
         return err < self.cfg.filter_max_reproj_error * thr_factor
 
@@ -273,7 +316,7 @@ class IncrementalMapper:
                 im = self.rec.images[iid]
                 qv[b, t] = im.qvec
                 tv[b, t] = im.tvec
-                xn[b, t] = self._normalize(iid, self.kp[iid][kp][None])[0]
+                xn[b, t] = self._kp_norm(iid)[kp]
                 mask[b, t] = True
                 f_sum += self._focal(iid)
             focals.append(f_sum / min(len(track), T))
@@ -319,7 +362,7 @@ class IncrementalMapper:
                         continue
                     if self._observation_fits(j, kj, pid):
                         pt.track.append((j, int(kj)))
-                        im_j.point3D_ids[kj] = pid
+                        self.rec.set_point3D_id(j, int(kj), pid)
                         n += 1
         return n
 
@@ -359,7 +402,7 @@ class IncrementalMapper:
                 continue
             # move pt2's observations into pt
             for (i, k) in pt2.track:
-                self.rec.images[i].point3D_ids[k] = pid
+                self.rec.set_point3D_id(i, int(k), pid)
             pt.track = pt.track + pt2.track
             pt.xyz = merged_xyz
             del self.rec.points3D[partner]
@@ -386,14 +429,10 @@ class IncrementalMapper:
                 self.rec.remove_point3D(pid)
                 removed += 1
                 continue
-            max_ang = 0.0
-            for a in range(len(centers)):
-                for b in range(a + 1, len(centers)):
-                    ang = float(geom.triangulation_angle(
-                        centers[a], centers[b], pt.xyz))
-                    max_ang = max(max_ang, ang)
-                if max_ang >= min_ang:
-                    break
+            c = np.stack(centers)
+            angs = geom.np_triangulation_angle(c[:, None, :], c[None, :, :],
+                                               pt.xyz)
+            max_ang = float(np.max(angs))
             if max_ang < min_ang:
                 self.rec.remove_point3D(pid)
                 removed += 1
@@ -406,6 +445,7 @@ class IncrementalMapper:
             n = im.num_points3D
             if self._num_total_reg_images > 2 and n < 3:
                 self.rec.deregister_image(iid)
+                self.graph.set_registered(iid, False)
                 removed += 1
         return removed
 
@@ -432,16 +472,26 @@ class IncrementalMapper:
         # COLMAP refines focal when no prior focal; distortion always
         any_prior = all(self.rec.cameras[self.rec.images[i].camera_id].prior_focal
                         for i in meta["image_ids"])
+        prior_log_f = np.asarray(cfg.prior_log_f).copy()
+        for s, iid in enumerate(meta["image_ids"]):
+            prior_log_f[s] = self._init_log_f[iid]
         cfg = cfg._replace(
             pose_free=jnp.asarray(pose_free),
             refine_focal=jnp.asarray(bool(refine_intrinsics and not any_prior)),
             refine_distortion=jnp.asarray(bool(refine_intrinsics)),
             loss_scale=jnp.asarray(float(self.cfg.filter_max_reproj_error)),
+            prior_log_f=jnp.asarray(prior_log_f),
+            prior_weight_f=jnp.asarray(float(self.cfg.intr_prior_weight_f)),
+            prior_weight_k=jnp.asarray(float(self.cfg.intr_prior_weight_k)),
         )
         p_out, info = ba.bundle_adjust(
             params, obs, cfg, max_iterations=max_iterations,
             chunk=min(1024, params.xyz.shape[0]))
         unpack_bundle(self.rec, p_out, meta, update_intrinsics=refine_intrinsics)
+        if refine_intrinsics:
+            # normalized-keypoint cache depends on intrinsics
+            for iid in meta["image_ids"]:
+                self._kp_norm_cache.pop(iid, None)
         return info
 
     def local_bundle_adjustment(self, image_id: int):

@@ -141,6 +141,37 @@ def mean_focal(model_id: jax.Array, params: jax.Array) -> jax.Array:
     return 0.5 * (fx + fy)
 
 
+def np_cam_to_image(model_id: int, params, x_cam):
+    """Numpy projection for host control-plane loops (engine filtering):
+    same canonical model as cam_to_image, no jax dispatch."""
+    import numpy as np
+
+    p = np.asarray(params)
+    x_cam = np.asarray(x_cam)
+    single_f = model_id in (SIMPLE_PINHOLE, SIMPLE_RADIAL, RADIAL)
+    fx = p[0]
+    fy = p[0] if single_f else p[1]
+    cx = p[1] if single_f else p[2]
+    cy = p[2] if single_f else p[3]
+    if model_id == SIMPLE_RADIAL:
+        k1, k2, p1, p2 = p[3], 0.0, 0.0, 0.0
+    elif model_id == RADIAL:
+        k1, k2, p1, p2 = p[3], p[4], 0.0, 0.0
+    elif model_id == OPENCV:
+        k1, k2, p1, p2 = p[4], p[5], p[6], p[7]
+    else:
+        k1 = k2 = p1 = p2 = 0.0
+    z = x_cam[..., 2]
+    zs = np.where(np.abs(z) < 1e-9, np.where(z < 0, -1e-9, 1e-9), z)
+    x = x_cam[..., 0] / zs
+    y = x_cam[..., 1] / zs
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * k2)
+    dx = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.stack([fx * dx + cx, fy * dy + cy], axis=-1)
+
+
 def make_simple_radial(focal, cx, cy, k=0.0):
     """Convenience constructor returning a padded params row (host-side)."""
     import numpy as np

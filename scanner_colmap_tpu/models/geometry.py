@@ -229,6 +229,52 @@ def umeyama_alignment(src: jax.Array, dst: jax.Array, weights: jax.Array | None 
 # Triangulation angles
 # ----------------------------------------------------------------------------
 
+def np_angle_axis_to_quat(aa):
+    """Numpy angle-axis -> quaternion (host control plane)."""
+    import numpy as np
+
+    aa = np.asarray(aa, np.float64)
+    sq = np.sum(aa * aa, axis=-1, keepdims=True)
+    angle = np.sqrt(sq + 1e-24)
+    half = 0.5 * angle
+    k = np.sin(half) / angle
+    return np.concatenate([np.cos(half), aa * k], axis=-1)
+
+
+def np_quat_rotate(q, v):
+    """Numpy quaternion rotate for the host control plane (the engine calls
+    this in per-observation loops where a jax dispatch would dominate)."""
+    import numpy as np
+
+    q = np.asarray(q)
+    v = np.asarray(v)
+    qv = q[..., 1:]
+    uv = np.cross(qv, v)
+    uuv = np.cross(qv, uv)
+    return v + 2.0 * (q[..., :1] * uv + uuv)
+
+
+def np_pose_transform(qvec, tvec, pts):
+    return np_quat_rotate(qvec, pts) + tvec
+
+
+def np_projection_center(qvec, tvec):
+    import numpy as np
+
+    q = np.asarray(qvec) * np.array([1.0, -1, -1, -1])
+    return -np_quat_rotate(q, tvec)
+
+
+def np_triangulation_angle(c1, c2, p):
+    import numpy as np
+
+    r1 = np.asarray(c1) - p
+    r2 = np.asarray(c2) - p
+    denom = np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1)
+    cosang = np.sum(r1 * r2, axis=-1) / np.maximum(denom, 1e-12)
+    return np.arccos(np.clip(cosang, -1.0, 1.0))
+
+
 def triangulation_angle(center1: jax.Array, center2: jax.Array, point3d: jax.Array) -> jax.Array:
     """Angle (radians) at point3d subtended by the two camera centers."""
     r1 = center1 - point3d

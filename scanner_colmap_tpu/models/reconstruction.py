@@ -56,7 +56,7 @@ class Image:
         return int(np.sum(self.point3D_ids >= 0))
 
     def projection_center(self) -> np.ndarray:
-        return np.asarray(geom.projection_center(self.qvec, self.tvec))
+        return np.asarray(geom.np_projection_center(self.qvec, self.tvec))
 
 
 @dataclasses.dataclass
@@ -73,13 +73,25 @@ class Point3D:
 
 
 class Reconstruction:
-    """Sparse model: cameras + images + 3D points with tracks."""
+    """Sparse model: cameras + images + 3D points with tracks.
+
+    ``observer`` (optional callable (image_id, p2d_idx, pid)) is notified on
+    every keypoint->point3D assignment change, letting an external index
+    (e.g. the native correspondence graph) mirror the state without the
+    engine auditing every mutation site.
+    """
 
     def __init__(self):
         self.cameras: Dict[int, Camera] = {}
         self.images: Dict[int, Image] = {}
         self.points3D: Dict[int, Point3D] = {}
         self._next_point3D_id = 1
+        self.observer = None
+
+    def set_point3D_id(self, image_id: int, p2d_idx: int, pid: int):
+        self.images[image_id].point3D_ids[p2d_idx] = pid
+        if self.observer is not None:
+            self.observer(image_id, p2d_idx, pid)
 
     # ---- mutation -------------------------------------------------------
     def add_camera(self, cam: Camera):
@@ -94,7 +106,7 @@ class Reconstruction:
         rgb = np.zeros(3, np.uint8) if rgb is None else np.asarray(rgb, np.uint8)
         self.points3D[pid] = Point3D(np.asarray(xyz, np.float64), rgb, float(error), list(track))
         for image_id, p2d_idx in track:
-            self.images[image_id].point3D_ids[p2d_idx] = pid
+            self.set_point3D_id(image_id, p2d_idx, pid)
         return pid
 
     def remove_point3D(self, pid: int):
@@ -102,7 +114,7 @@ class Reconstruction:
         for image_id, p2d_idx in pt.track:
             im = self.images.get(image_id)
             if im is not None and p2d_idx < len(im.point3D_ids) and im.point3D_ids[p2d_idx] == pid:
-                im.point3D_ids[p2d_idx] = -1
+                self.set_point3D_id(image_id, p2d_idx, -1)
 
     def deregister_image(self, image_id: int):
         im = self.images[image_id]
@@ -116,7 +128,7 @@ class Reconstruction:
         if pt is None:
             return
         pt.track = [(i, j) for (i, j) in pt.track if not (i == image_id and j == p2d_idx)]
-        self.images[image_id].point3D_ids[p2d_idx] = -1
+        self.set_point3D_id(image_id, p2d_idx, -1)
         if len(pt.track) < 2:
             self.remove_point3D(pid)
 
@@ -139,21 +151,18 @@ class Reconstruction:
         return float(np.mean(errs)) if errs else -1.0
 
     def compute_reprojection_errors(self) -> None:
-        """Recompute per-point mean reprojection error from current geometry."""
+        """Recompute per-point mean reprojection error from current geometry.
+        Host-side numpy (called in engine inner loops — no jax dispatches)."""
         for pid, pt in self.points3D.items():
             errs = []
             for image_id, p2d_idx in pt.track:
                 im = self.images[image_id]
                 cam = self.cameras[im.camera_id]
-                x_cam = np.asarray(geom.pose_transform(im.qvec, im.tvec, pt.xyz))
+                x_cam = geom.np_pose_transform(im.qvec, im.tvec, pt.xyz)
                 if x_cam[2] <= 0:
                     errs.append(np.inf)
                     continue
-                uv = np.asarray(
-                    camlib.cam_to_image(
-                        np.int32(cam.model_id), cam.params_padded, x_cam
-                    )
-                )
+                uv = camlib.np_cam_to_image(cam.model_id, cam.params, x_cam)
                 errs.append(float(np.linalg.norm(uv - im.xys[p2d_idx])))
             pt.error = float(np.mean(errs)) if errs else -1.0
 

@@ -63,6 +63,14 @@ class BundleConfig(NamedTuple):
     refine_focal: jax.Array      # () bool
     refine_distortion: jax.Array # () bool
     loss_scale: jax.Array  # () robust-loss scale in pixels (Cauchy)
+    # Gaussian priors on intrinsics (weights in cost units per unit^2; 0 =
+    # off). Per-image focal+distortion on weak-parallax data is
+    # near-degenerate with scene depth — a modest prior pins the gauge the
+    # data cannot (COLMAP leans on better-conditioned real imagery instead).
+    prior_log_f: jax.Array       # (M,) prior focal (log px)
+    prior_k1: jax.Array          # (M,)
+    prior_weight_f: jax.Array    # ()
+    prior_weight_k: jax.Array    # ()
 
 
 def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()) -> jax.Array:
@@ -164,16 +172,31 @@ def _jacobians(params: BundleParams, obs: BundleObs, cfg: BundleConfig):
     return r, w, J_cam, J_pt, ok
 
 
-def robust_cost(params: BundleParams, obs: BundleObs, cfg: BundleConfig):
-    """Total Cauchy cost: sum s^2/2 * log(1 + |r|^2/s^2), plus raw stats."""
+def robust_cost(params: BundleParams, obs: BundleObs, cfg: BundleConfig,
+                axis_name=None):
+    """Total Cauchy cost: sum s^2/2 * log(1 + |r|^2/s^2), plus raw stats.
+
+    With axis_name set (points sharded over a mesh axis inside shard_map),
+    the sums reduce over ICI via psum so every shard sees global values.
+    """
     r, ok, _ = _project_residual(params, obs, cfg)
     rn2 = jnp.sum(r * r, axis=-1)
     s2 = cfg.loss_scale**2
     c = 0.5 * s2 * jnp.log1p(rn2 / s2)
     cost = jnp.sum(jnp.where(ok, c, 0.0))
-    n = jnp.maximum(jnp.sum(ok), 1)
-    mean_px = jnp.sum(jnp.where(ok, jnp.sqrt(rn2), 0.0)) / n
-    return cost, mean_px, n
+    n = jnp.sum(ok)
+    err_sum = jnp.sum(jnp.where(ok, jnp.sqrt(rn2), 0.0))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+        n = jax.lax.psum(n, axis_name)
+        err_sum = jax.lax.psum(err_sum, axis_name)
+    # prior term added post-psum: camera params are replicated, so this
+    # contributes exactly once regardless of sharding
+    cost = cost + 0.5 * jnp.sum(
+        cfg.prior_weight_f * (params.log_f - cfg.prior_log_f) ** 2
+        + cfg.prior_weight_k * (params.k1 - cfg.prior_k1) ** 2)
+    n = jnp.maximum(n, 1)
+    return cost, err_sum / n, n
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +229,7 @@ def _inv33(A: jax.Array) -> jax.Array:
 # One LM solve step (given damping), fully batched
 # ---------------------------------------------------------------------------
 
-def _build_normal_eqs(params, obs, cfg, lam, chunk: int):
+def _build_normal_eqs(params, obs, cfg, lam, chunk: int, axis_name=None):
     """Build Schur system: returns (S (MC, MC), rhs (MC,), Vinv (P,3,3),
     g_p (P,3), W stored implicitly via recompute in backsub).
 
@@ -255,7 +278,19 @@ def _build_normal_eqs(params, obs, cfg, lam, chunk: int):
     (S_pt, rhs_pt), _ = jax.lax.scan(
         chunk_body, (S0, rhs0), jnp.arange(n_chunks))
 
+    if axis_name is not None:
+        # camera-side systems reduce over the point-sharded mesh axis (ICI);
+        # every shard then solves the identical replicated camera system
+        U, g_c, S_pt, rhs_pt = jax.lax.psum((U, g_c, S_pt, rhs_pt), axis_name)
+
     U = U.reshape(MC // NUM_CAM_PARAMS, NUM_CAM_PARAMS, NUM_CAM_PARAMS)
+    # intrinsic priors: quadratic pull toward (prior_log_f, prior_k1)
+    wf = cfg.prior_weight_f
+    wk = cfg.prior_weight_k
+    U = U.at[:, 6, 6].add(wf)
+    U = U.at[:, 7, 7].add(wk)
+    g_c = g_c.at[:, 6].add(-wf * (params.log_f - cfg.prior_log_f))
+    g_c = g_c.at[:, 7].add(-wk * (params.k1 - cfg.prior_k1))
     Ud = U + lam * jnp.eye(NUM_CAM_PARAMS, dtype=U.dtype) * jnp.maximum(
         jnp.einsum("mii->m", U), 1e-6)[:, None, None] / NUM_CAM_PARAMS
     # block-diagonal U into dense MC x MC (einsum scatter, no python loop)
@@ -295,10 +330,10 @@ def _apply_delta(params: BundleParams, dc: jax.Array, dp: jax.Array,
     return BundleParams(q_new, t_new, f_new, k_new, xyz_new)
 
 
-def _lm_trial(params, obs, cfg, lam, chunk):
+def _lm_trial(params, obs, cfg, lam, chunk, axis_name=None):
     """Solve the damped system once; return candidate params."""
     S, rhs, Vinv, g_p, (r, w, J_cam, J_pt) = _build_normal_eqs(
-        params, obs, cfg, lam, chunk)
+        params, obs, cfg, lam, chunk, axis_name)
     # dense solve via Cholesky with jitter fallback to solve
     dc = jax.scipy.linalg.solve(S, rhs, assume_a="pos")
     dc = jnp.where(jnp.all(jnp.isfinite(dc)), dc, jnp.zeros_like(dc))
@@ -314,7 +349,7 @@ def _lm_trial(params, obs, cfg, lam, chunk):
     return _apply_delta(params, dc, dp, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "chunk", "axis_name"))
 def bundle_adjust(
     params: BundleParams,
     obs: BundleObs,
@@ -323,6 +358,7 @@ def bundle_adjust(
     chunk: int = 1024,
     initial_lambda: float = 1e-4,
     function_tolerance: float = 1e-6,
+    axis_name: str | None = None,
 ):
     """Full in-graph LM loop with accept/reject damping adaptation.
 
@@ -331,7 +367,7 @@ def bundle_adjust(
     """
     P = params.xyz.shape[0]
     assert P % chunk == 0, f"max_points {P} must be divisible by chunk {chunk}"
-    cost0, _, _ = robust_cost(params, obs, cfg)
+    cost0, _, _ = robust_cost(params, obs, cfg, axis_name)
 
     def cond(state):
         it, _, _, _, done = state
@@ -339,8 +375,8 @@ def bundle_adjust(
 
     def body(state):
         it, p, lam, cost, done = state
-        cand = _lm_trial(p, obs, cfg, lam, chunk)
-        new_cost, _, _ = robust_cost(cand, obs, cfg)
+        cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
+        new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)
         accept = new_cost < cost
         p2 = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
         cost2 = jnp.where(accept, new_cost, cost)
@@ -353,7 +389,7 @@ def bundle_adjust(
     it, p_f, lam_f, cost_f, _ = jax.lax.while_loop(
         cond, body, (0, params, jnp.asarray(initial_lambda, params.xyz.dtype),
                      cost0, jnp.asarray(False)))
-    _, mean_px, n_obs = robust_cost(p_f, obs, cfg)
+    _, mean_px, n_obs = robust_cost(p_f, obs, cfg, axis_name)
     info = {"initial_cost": cost0, "final_cost": cost_f,
             "iterations": it, "mean_reproj_px": mean_px, "num_obs": n_obs}
     return p_f, info

@@ -361,7 +361,8 @@ def compute_descriptors(gx, gy, scale_idx, yx, sigma_oct, theta):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_features", "num_octaves", "num_scales", "upright"),
+    static_argnames=("max_features", "num_octaves", "num_scales", "upright",
+                     "init_sigma"),
 )
 def extract(
     image: jax.Array,          # (H, W) grayscale float in [0, 1], padded

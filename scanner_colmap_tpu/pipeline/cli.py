@@ -1,0 +1,142 @@
+"""Command-line interface: one driver, eight subcommands + `all`.
+
+The reference exposes the pipeline as 8 separate argparse scripts
+(/root/reference/integration/*.py, README.md:35-69); here one CLI with a
+subcommand per stage, the same stage knobs (`--overlap`, `--cluster_size`,
+`--cluster_overlap`, ...) plus a working end-to-end `all` command (the
+reference's unified scanner-colmap.py never ran — SURVEY §8.1).
+
+Usage:
+  python -m scanner_colmap_tpu.pipeline.cli all \
+      --image_path imgs/ --store_path artifacts/ --export_path sparse/
+  python -m scanner_colmap_tpu.pipeline.cli extraction --store_path artifacts/
+  python -m scanner_colmap_tpu.pipeline.cli set key=value ...   # config file
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+from scanner_colmap_tpu.utils.config import PipelineConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="scanner_colmap_tpu",
+        description="TPU-native SfM/MVS pipeline (scanner-colmap capabilities)")
+    p.add_argument("--config", help="JSON config file (serialized PipelineConfig)")
+    p.add_argument("--store_path", default=None, help="artifact store directory")
+    p.add_argument("--image_path", default=None, help="input image directory")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+    sub = p.add_subparsers(dest="stage", required=True)
+
+    sub.add_parser("prepare_images", help="stage 1: ingest + id assignment")
+
+    e = sub.add_parser("extraction", help="stage 2: SIFT features")
+    e.add_argument("--max_image_size", type=int)
+    e.add_argument("--max_num_features", type=int)
+
+    m = sub.add_parser("feature_matching", help="stage 3: windowed matching")
+    m.add_argument("--overlap", type=int, help="match window size (ref default 10)")
+
+    mp = sub.add_parser("incremental_mapping", help="stage 4: clustered SfM")
+    mp.add_argument("--cluster_size", type=int)
+    mp.add_argument("--cluster_overlap", type=int)
+
+    mg = sub.add_parser("merge_mapping", help="stage 5: merge submodels")
+    mg.add_argument("--export_path", help="COLMAP-binary export directory")
+
+    sub.add_parser("prepare_patch_match", help="stage 6: MVS problem prep")
+
+    pm = sub.add_parser("patch_match", help="stage 7: PatchMatch depth/normals")
+    pm.add_argument("--pm_overlap", type=int, help="source view count")
+
+    f = sub.add_parser("stereo_fusion", help="stage 8: fuse depth maps")
+    f.add_argument("--ply_path", help="write fused cloud as PLY")
+
+    a = sub.add_parser("all", help="run the full pipeline")
+    a.add_argument("--export_path")
+    a.add_argument("--ply_path")
+    a.add_argument("--sparse_only", action="store_true")
+    a.add_argument("--resume", action="store_true",
+                   help="skip stages whose output table already exists")
+    # the per-stage knobs are accepted here too (one-command runs)
+    a.add_argument("--max_image_size", type=int)
+    a.add_argument("--max_num_features", type=int)
+    a.add_argument("--overlap", type=int)
+    a.add_argument("--cluster_size", type=int)
+    a.add_argument("--cluster_overlap", type=int)
+    a.add_argument("--pm_overlap", type=int)
+    return p
+
+
+def config_from_args(args) -> PipelineConfig:
+    if args.config:
+        with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+    else:
+        cfg = PipelineConfig()
+    if args.store_path:
+        cfg.store_path = args.store_path
+    if args.image_path:
+        cfg.image_path = args.image_path
+    for name, target in [
+        ("max_image_size", "sift.max_image_size"),
+        ("max_num_features", "sift.max_num_features"),
+        ("overlap", "matching.overlap"),
+        ("cluster_size", "mapper.cluster_size"),
+        ("cluster_overlap", "mapper.cluster_overlap"),
+        ("pm_overlap", "patch_match.overlap"),
+    ]:
+        v = getattr(args, name, None)
+        if v is not None:
+            cfg.apply_overrides({target: v})
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    cfg = config_from_args(args)
+
+    # import stages lazily: jax init is slow and `--help` shouldn't pay it
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = ArtifactStore(cfg.store_path)
+    # persist the effective config next to the artifacts (provenance)
+    with open(os.path.join(cfg.store_path, "pipeline_config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    if args.stage == "prepare_images":
+        stages.prepare_images(cfg, store)
+    elif args.stage == "extraction":
+        stages.run_extraction(cfg, store)
+    elif args.stage == "feature_matching":
+        stages.run_matching(cfg, store)
+    elif args.stage == "incremental_mapping":
+        stages.run_mapping(cfg, store)
+    elif args.stage == "merge_mapping":
+        stages.run_merge(cfg, store, export_path=args.export_path)
+    elif args.stage == "prepare_patch_match":
+        stages.run_prepare_patch_match(cfg, store)
+    elif args.stage == "patch_match":
+        stages.run_patch_match(cfg, store)
+    elif args.stage == "stereo_fusion":
+        stages.run_fusion(cfg, store, ply_path=args.ply_path)
+    elif args.stage == "all":
+        stages.run_all(cfg, export_path=args.export_path,
+                       ply_path=args.ply_path, dense=not args.sparse_only,
+                       resume=args.resume)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,676 @@
+"""The eight pipeline stages.
+
+Mirrors the reference's per-stage scripts (README.md:35-69) with the same
+stage contracts (table names/columns follow SURVEY §2.4), on the artifact
+store instead of Scanner tables:
+
+  1 prepare_images   (prepare_images.py)      -> frames
+  2 extraction       (extraction.py)          -> extraction
+  3 feature_matching (feature_matching.py)    -> matching
+  4 incremental_mapping (incremental_mapping.py) -> mapping (1 row/cluster)
+  5a remove_empty    (remove_empty_reconstruction.py) -> folded into 5
+  5 merge_mapping    (merge_mapping.py)       -> models (+ COLMAP export dir)
+  6 prepare_patch_match (prepare_patch_match.py) -> prepare_patch_match
+  7 patch_match      (patch_match.py)         -> patch_match
+  8 stereo_fusion    (absent/broken in ref)   -> fused (+ PLY export)
+
+Every stage is idempotent: it reads the previous stage's table and
+atomically replaces its own (the reference's force=True semantics, but
+crash-safe). Each stage records its config + metrics in the table manifest.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scanner_colmap_tpu.engine.cluster import run_clustered_mapping
+from scanner_colmap_tpu.engine.correspondence import CorrespondenceGraph
+from scanner_colmap_tpu.engine.merge import merge_all
+from scanner_colmap_tpu.models import cameras as camlib
+from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.models.reconstruction import Reconstruction
+from scanner_colmap_tpu.ops import fusion as fusion_ops
+from scanner_colmap_tpu.ops import image as image_ops
+from scanner_colmap_tpu.ops import matching as matching_ops
+from scanner_colmap_tpu.ops import patch_match as pm_ops
+from scanner_colmap_tpu.ops import sift as sift_ops
+from scanner_colmap_tpu.ops import two_view as tv_ops
+from scanner_colmap_tpu.utils import colmap_io
+from scanner_colmap_tpu.utils.config import PipelineConfig
+from scanner_colmap_tpu.utils.store import ArtifactStore
+
+log = logging.getLogger(__name__)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# stage 1: prepare_images
+# ---------------------------------------------------------------------------
+
+def prepare_images(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+    """List + probe the image collection; ids = sorted order (fixes the
+    reference's stateful id counter, SURVEY §8.5)."""
+    store = store or ArtifactStore(cfg.store_path)
+    paths = image_ops.list_images(cfg.image_path)
+    if not paths:
+        raise FileNotFoundError(f"no images under {cfg.image_path}")
+    names, widths, heights = [], [], []
+    for p in paths:
+        from PIL import Image as PILImage
+
+        with PILImage.open(p) as im:
+            w, h = im.size
+        names.append(p.encode())
+        widths.append(w)
+        heights.append(h)
+    store.write_table("frames", {
+        "image_id": np.arange(len(paths), dtype=np.int64),
+        "path": names,
+        "width": np.asarray(widths, np.int32),
+        "height": np.asarray(heights, np.int32),
+    }, meta={"stage": "prepare_images", "image_path": cfg.image_path})
+    log.info("prepare_images: %d frames", len(paths))
+    return len(paths)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: extraction
+# ---------------------------------------------------------------------------
+
+def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                   batch_size: int = 16):
+    """SIFT + EXIF camera init per image (reference extraction_op.cc).
+
+    Device work is batched: images decode on host, then a BATCH extracts in
+    ONE device dispatch (lax.map over the batch inside jit) — essential when
+    the accelerator sits behind a high-latency link, and the packetization
+    analog of the reference's work_packet_size (extraction.py:42-43).
+    """
+    store = store or ArtifactStore(cfg.store_path)
+    frames = store.read_table("frames")
+    paths = [p.decode() for p in frames["path"]]
+    s = cfg.sift
+    canvas = (_round_up(cfg.sift.max_image_size, 128),) * 2
+
+    extract_batch = jax.jit(lambda imgs, vhws: jax.lax.map(
+        lambda args: sift_ops.extract(
+            args[0], args[1],
+            max_features=s.max_num_features, num_octaves=s.num_octaves,
+            num_scales=s.scales_per_octave, init_sigma=s.init_sigma,
+            peak_threshold=s.peak_threshold, edge_threshold=s.edge_threshold,
+            upright=s.upright),
+        (imgs, vhws)))
+
+    t0 = time.time()
+    keypoints, descriptors, cam_rows, num_feats = [], [], [], []
+    for start in range(0, len(paths), batch_size):
+        chunk_paths = paths[start:start + batch_size]
+        items = [image_ops.load_for_extraction(p, s.max_image_size, canvas)
+                 for p in chunk_paths]
+        n = len(items)
+        imgs = np.stack([it["image"] for it in items])
+        vhws = np.stack([it["valid_hw"] for it in items])
+        if n < batch_size:  # pad the batch for a stable jit signature
+            imgs = np.concatenate([imgs, np.zeros(
+                (batch_size - n,) + imgs.shape[1:], imgs.dtype)])
+            vhws = np.concatenate([vhws, np.ones(
+                (batch_size - n, 2), vhws.dtype)])
+        feats = extract_batch(jnp.asarray(imgs), jnp.asarray(vhws))
+        f_xy = np.asarray(feats.xy)
+        f_scale = np.asarray(feats.scale)
+        f_ori = np.asarray(feats.ori)
+        f_valid = np.asarray(feats.valid)
+        f_desc = np.asarray(sift_ops.descriptors_to_uint8(feats.desc))
+        for b, item in enumerate(items):
+            valid = f_valid[b]
+            kp = np.stack([f_xy[b][:, 0], f_xy[b][:, 1], f_scale[b],
+                           f_ori[b]], axis=1)[valid]
+            desc = f_desc[b][valid]
+            # camera at EXTRACTION resolution (like the reference, which
+            # builds it from the resized bitmap — extraction_op.cc:43-64)
+            h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
+            exif_f = item["exif_focal_px"]
+            exif_scaled = exif_f * item["scale"] if exif_f else None
+            model_id, params, prior = camlib.camera_from_exif(w, h, exif_scaled)
+            keypoints.append(kp.astype(np.float32))
+            descriptors.append(desc)
+            cam_rows.append(np.concatenate([
+                [model_id, w, h, 1.0 if prior else 0.0, item["scale"]], params]))
+            num_feats.append(len(kp))
+    store.write_table("extraction", {
+        "image_id": frames["image_id"],
+        "keypoints": keypoints,
+        "descriptors": descriptors,
+        "camera": np.stack(cam_rows),
+    }, meta={"stage": "extraction", "config": vars(s),
+             "throughput_images_per_s": len(paths) / max(time.time() - t0, 1e-9)})
+    log.info("extraction: %d images, mean %.0f feats, %.2f img/s",
+             len(paths), np.mean(num_feats), len(paths) / max(time.time() - t0, 1e-9))
+    return num_feats
+
+
+def _load_extraction(store: ArtifactStore):
+    ext = store.read_table("extraction")
+    image_ids = [int(i) for i in ext["image_id"]]
+    kp = {}
+    desc = {}
+    cameras = {}
+    for n, iid in enumerate(image_ids):
+        kp[iid] = np.asarray(ext["keypoints"][n], np.float64)
+        desc[iid] = np.asarray(ext["descriptors"][n])
+        row = ext["camera"][n]
+        model_id = int(row[0])
+        w, h = int(row[1]), int(row[2])
+        prior = row[3] > 0
+        params = row[5:5 + camlib.MODEL_NUM_PARAMS[model_id]]
+        cameras[iid] = (model_id, list(params), w, h, prior)
+    return image_ids, kp, desc, cameras
+
+
+# ---------------------------------------------------------------------------
+# stage 3: feature matching + two-view geometry
+# ---------------------------------------------------------------------------
+
+def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+    """Sequential overlap-window matching + geometric verification
+    (reference feature_matching.py + sequential_matching.cc). Uses REAL
+    intrinsics for verification (fixes SURVEY §8.6)."""
+    store = store or ArtifactStore(cfg.store_path)
+    image_ids, kp, desc, cameras = _load_extraction(store)
+    m = cfg.matching
+    key = jax.random.PRNGKey(0)
+
+    # pad descriptors to a common K for batched matching
+    K_max = _round_up(max(len(d) for d in desc.values()), 128)
+    D = np.zeros((len(image_ids), K_max, 128), np.float32)
+    V = np.zeros((len(image_ids), K_max), bool)
+    for n, iid in enumerate(image_ids):
+        d = desc[iid].astype(np.float32)
+        D[n, :len(d)] = d
+        V[n, :len(d)] = True
+
+    t0 = time.time()
+    n_img = len(image_ids)
+    W = m.overlap + 1
+
+    # ---- phase 1: ALL windows matched in ONE device dispatch -------------
+    # pad the ordered image axis with `overlap` empty rows so every pivot
+    # has a full static window (the stencil materialization the Scanner
+    # runtime did for the reference — feature_matching.py:43)
+    Dp = np.concatenate([D, np.zeros((m.overlap, K_max, 128), np.float32)])
+    Vp = np.concatenate([V, np.zeros((m.overlap, K_max), bool)])
+
+    @jax.jit
+    def match_all(d, v):
+        def per_pivot(a):
+            win_d = jax.lax.dynamic_slice_in_dim(d, a, W, 0)
+            win_v = jax.lax.dynamic_slice_in_dim(v, a, W, 0)
+            return matching_ops.match_window(
+                win_d, win_v, max_ratio=m.max_ratio,
+                max_distance=m.max_distance, cross_check=m.cross_check)
+        return jax.lax.map(per_pivot, jnp.arange(n_img))
+
+    idx_all, ok_all = match_all(jnp.asarray(Dp), jnp.asarray(Vp))
+    idx_all = np.asarray(idx_all)  # (n_img, overlap, K_max)
+    ok_all = np.asarray(ok_all)
+
+    # ---- phase 2: collect candidate pairs (host) -------------------------
+    cand = []  # (ia, ib, sel, idx_row)
+    for a in range(n_img):
+        for wi in range(1, min(W, n_img - a)):
+            b = a + wi
+            sel = np.nonzero(ok_all[a, wi - 1])[0]
+            if len(sel) >= m.min_num_inliers:
+                cand.append((image_ids[a], image_ids[b], sel,
+                             idx_all[a, wi - 1]))
+
+    # ---- phase 3: ALL two-view geometries in ONE device dispatch ---------
+    pair_ids, tvg_rows, match_lists = [], [], []
+    if cand:
+        P = _round_up(max(max(len(c[2]) for c in cand), 8), 256)
+        NP = len(cand)
+        # bucket the pair count so jit signatures repeat across datasets
+        NP_pad = 8
+        while NP_pad < NP:
+            NP_pad *= 2
+        NP = NP_pad
+        uv1p = np.zeros((NP, P, 2))
+        uv2p = np.zeros((NP, P, 2))
+        vmp = np.zeros((NP, P), bool)
+        K1p = np.tile(np.eye(3) * 100.0, (NP, 1, 1))  # padded rows: benign K
+        K2p = np.tile(np.eye(3) * 100.0, (NP, 1, 1))
+        for n, (ia, ib, sel, idx_row) in enumerate(cand):
+            k_n = min(len(sel), P)
+            uv1p[n, :k_n] = kp[ia][sel[:k_n], :2]
+            uv2p[n, :k_n] = kp[ib][idx_row[sel[:k_n]], :2]
+            vmp[n, :k_n] = True
+            K1p[n] = _cam_K(cameras[ia])
+            K2p[n] = _cam_K(cameras[ib])
+        keys = jax.random.split(key, NP)
+
+        @jax.jit
+        def verify_all(keys, uv1, uv2, vm, K1, K2):
+            def per_pair(args):
+                k, u1, u2, v, k1m, k2m = args
+                return tv_ops.estimate_two_view_geometry(
+                    k, u1, u2, v, k1m, k2m, calibrated=True,
+                    max_error=m.max_error, min_num_inliers=m.min_num_inliers,
+                    min_inlier_ratio=m.min_inlier_ratio,
+                    num_trials=min(m.max_num_trials, 1024))
+            return jax.lax.map(per_pair, (keys, uv1, uv2, vm, K1, K2))
+
+        tvg = verify_all(keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
+                         jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p))
+        tvg = jax.tree.map(np.asarray, tvg)
+
+        for n, (ia, ib, sel, idx_row) in enumerate(cand):
+            cfg_id = int(tvg.config[n])
+            n_inl = int(tvg.num_inliers[n])
+            if cfg_id in (tv_ops.DEGENERATE, tv_ops.UNDEFINED) \
+                    or n_inl < m.min_num_inliers:
+                # reference zeroes weak TVGs instead of dropping the pair
+                # (sequential_matching.cc:164-178); we drop — cleaner contract
+                continue
+            k_n = min(len(sel), P)
+            inl = tvg.inlier_mask[n][:k_n]
+            pairs = np.stack([sel[:k_n][inl], idx_row[sel[:k_n][inl]]], axis=1)
+            pair_ids.append((ia, ib))
+            tvg_rows.append(np.concatenate([
+                [cfg_id, n_inl, float(tvg.tri_angle[n])],
+                tvg.qvec[n], tvg.tvec[n],
+                tvg.E[n].ravel(), tvg.F[n].ravel(), tvg.H[n].ravel()]))
+            match_lists.append(pairs.astype(np.int32))
+
+    store.write_table("matching", {
+        "pair_image_ids": np.asarray(pair_ids, np.int64).reshape(-1, 2),
+        "two_view_geometry": np.stack(tvg_rows) if tvg_rows else np.zeros((0, 37)),
+        "matches": match_lists,
+    }, meta={"stage": "matching", "config": vars(m),
+             "pairs_per_s": len(pair_ids) / max(time.time() - t0, 1e-9)})
+    log.info("matching: %d verified pairs, %.2f pairs/s",
+             len(pair_ids), len(pair_ids) / max(time.time() - t0, 1e-9))
+    return len(pair_ids)
+
+
+def _cam_K(caminfo):
+    model_id, params, w, h, prior = caminfo
+    f = params[0]
+    if model_id == camlib.PINHOLE:
+        return np.array([[params[0], 0, params[2]], [0, params[1], params[3]],
+                         [0, 0, 1.0]])
+    return np.array([[f, 0, params[1]], [0, f, params[2]], [0, 0, 1.0]])
+
+
+def _build_graph(store: ArtifactStore, kp: Dict[int, np.ndarray]):
+    mt = store.read_table("matching")
+    graph = CorrespondenceGraph()
+    for iid, k in kp.items():
+        graph.add_image(iid, len(k))
+    two_view = {}
+    pair_ids = np.asarray(mt["pair_image_ids"]).reshape(-1, 2)
+    for n in range(len(pair_ids)):
+        i, j = int(pair_ids[n][0]), int(pair_ids[n][1])
+        row = np.asarray(mt["two_view_geometry"][n])
+        pairs = np.asarray(mt["matches"][n])
+        graph.add_matches(i, j, pairs)
+        lo, hi = min(i, j), max(i, j)
+        if i > j:
+            q, t = geom.pose_inverse(row[3:7], row[7:10])
+            q, t = np.asarray(q), np.asarray(t)
+        else:
+            q, t = row[3:7].copy(), row[7:10].copy()
+        two_view[(lo, hi)] = {
+            "config": int(row[0]), "num_inliers": int(row[1]),
+            "tri_angle": float(row[2]), "qvec": q, "tvec": t,
+        }
+    return graph, two_view
+
+
+# ---------------------------------------------------------------------------
+# stage 4: incremental mapping (clustered)
+# ---------------------------------------------------------------------------
+
+def run_mapping(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+    """Clustered incremental SfM; one row per non-empty submodel
+    (reference incremental_mapping.py + remove_empty_reconstruction.py)."""
+    store = store or ArtifactStore(cfg.store_path)
+    image_ids, kp, desc, cameras = _load_extraction(store)
+    graph, two_view = _build_graph(store, kp)
+    t0 = time.time()
+    _, submodels = run_clustered_mapping(
+        kp, cameras, graph, two_view, cfg.mapper, cfg.merge, merge=False)
+    cams_b, imgs_b, pts_b, cluster_id = [], [], [], []
+    for ci, rec in enumerate(submodels):
+        cb, ib, pb = colmap_io.model_to_bytes(rec)
+        cams_b.append(cb)
+        imgs_b.append(ib)
+        pts_b.append(pb)
+        cluster_id.append(ci)
+    n_reg = sum(r.num_registered for r in submodels)
+    store.write_table("mapping", {
+        "cluster_id": np.asarray(cluster_id, np.int64),
+        "cameras": cams_b,
+        "images": imgs_b,
+        "points3d": pts_b,
+    }, meta={"stage": "mapping", "config": vars(cfg.mapper),
+             "images_registered_per_s": n_reg / max(time.time() - t0, 1e-9),
+             "num_submodels": len(submodels)})
+    log.info("mapping: %d submodels, %d registrations, %.2f img/s",
+             len(submodels), n_reg, n_reg / max(time.time() - t0, 1e-9))
+    return len(submodels)
+
+
+# ---------------------------------------------------------------------------
+# stage 5: merge
+# ---------------------------------------------------------------------------
+
+def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+              export_path: Optional[str] = None):
+    """Tree-merge submodels into one model (reference merge_mapping.py)."""
+    store = store or ArtifactStore(cfg.store_path)
+    tab = store.read_table("mapping")
+    submodels = [colmap_io.model_from_bytes(c, i, p)
+                 for c, i, p in zip(tab["cameras"], tab["images"], tab["points3d"])]
+    model = merge_all(submodels, cfg.merge)
+    model.compute_reprojection_errors()
+    cb, ib, pb = colmap_io.model_to_bytes(model)
+    store.write_table("models", {
+        "model_id": np.zeros(1, np.int64),
+        "cameras": [cb], "images": [ib], "points3d": [pb],
+    }, meta={"stage": "merge", "num_registered": model.num_registered,
+             "num_points": len(model.points3D),
+             "mean_reproj_error": model.mean_reprojection_error()})
+    if export_path:
+        colmap_io.write_model(model, export_path)
+    log.info("merge: %d images, %d points, err %.3f px", model.num_registered,
+             len(model.points3D), model.mean_reprojection_error())
+    return model
+
+
+def load_model(store: ArtifactStore) -> Reconstruction:
+    tab = store.read_table("models")
+    return colmap_io.model_from_bytes(
+        tab["cameras"][0], tab["images"][0], tab["points3d"][0])
+
+
+# ---------------------------------------------------------------------------
+# stage 6: prepare_patch_match
+# ---------------------------------------------------------------------------
+
+def run_prepare_patch_match(cfg: PipelineConfig,
+                            store: Optional[ArtifactStore] = None):
+    """Per-registered-image MVS geometry: R, T, K, bitmap, depth range
+    (reference prepare_patch_match.cc: depth ranges from sparse points)."""
+    store = store or ArtifactStore(cfg.store_path)
+    model = load_model(store)
+    frames = store.read_table("frames")
+    paths = {int(i): p.decode() for i, p in zip(frames["image_id"], frames["path"])}
+
+    pm = cfg.patch_match
+    canvas = (_round_up(pm.max_image_size, 32),) * 2
+    rows = {"image_id": [], "R": [], "T": [], "K": [], "width": [],
+            "height": [], "bitmap": [], "depth_min": [], "depth_max": []}
+    for iid in sorted(model.registered_image_ids):
+        im = model.images[iid]
+        cam = model.cameras[im.camera_id]
+        # depths of this image's sparse points (COLMAP ComputeDepthRanges)
+        depths = []
+        for pid in im.point3D_ids:
+            if pid >= 0 and int(pid) in model.points3D:
+                x_cam = geom.np_pose_transform(im.qvec, im.tvec,
+                                               model.points3D[int(pid)].xyz)
+                if x_cam[2] > 0:
+                    depths.append(x_cam[2])
+        if len(depths) < 5:
+            continue
+        d = np.asarray(depths)
+        dmin = float(np.percentile(d, 2) * pm.depth_min_factor)
+        dmax = float(np.percentile(d, 98) * pm.depth_max_factor)
+
+        item = image_ops.load_for_extraction(paths[iid], pm.max_image_size, canvas)
+        h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
+        # rescale intrinsics: camera was built at extraction resolution
+        s_mvs = item["scale"] / cam_scale_of(store, iid)
+        K = _cam_K((cam.model_id, list(cam.params), cam.width, cam.height, cam.prior_focal))
+        K = K * np.array([[s_mvs], [s_mvs], [1.0]])
+        rows["image_id"].append(iid)
+        rows["R"].append(np.asarray(geom.quat_to_rotmat(im.qvec), np.float32).ravel())
+        rows["T"].append(np.asarray(im.tvec, np.float32))
+        rows["K"].append(K.astype(np.float32).ravel())
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["bitmap"].append(item["image"].astype(np.float32))
+        rows["depth_min"].append(dmin)
+        rows["depth_max"].append(dmax)
+    store.write_table("prepare_patch_match", {
+        "image_id": np.asarray(rows["image_id"], np.int64),
+        "R": np.stack(rows["R"]) if rows["R"] else np.zeros((0, 9), np.float32),
+        "T": np.stack(rows["T"]) if rows["T"] else np.zeros((0, 3), np.float32),
+        "K": np.stack(rows["K"]) if rows["K"] else np.zeros((0, 9), np.float32),
+        "width": np.asarray(rows["width"], np.int32),
+        "height": np.asarray(rows["height"], np.int32),
+        "bitmap": rows["bitmap"],
+        "depth_min": np.asarray(rows["depth_min"], np.float64),
+        "depth_max": np.asarray(rows["depth_max"], np.float64),
+    }, meta={"stage": "prepare_patch_match", "canvas": list(canvas)})
+    log.info("prepare_patch_match: %d images", len(rows["image_id"]))
+    return len(rows["image_id"])
+
+
+def cam_scale_of(store: ArtifactStore, iid: int) -> float:
+    """Extraction downscale factor for image iid (camera resolution basis)."""
+    ext = store.read_table("extraction", columns=["image_id", "camera"])
+    ids = [int(i) for i in ext["image_id"]]
+    row = ext["camera"][ids.index(iid)]
+    return float(row[4])
+
+
+# ---------------------------------------------------------------------------
+# stage 7: patch_match
+# ---------------------------------------------------------------------------
+
+def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+    """PatchMatch depth/normals per reference image with a window of source
+    views (reference patch_match.py stencil + patch_match.cc)."""
+    store = store or ArtifactStore(cfg.store_path)
+    tab = store.read_table("prepare_patch_match")
+    pm = cfg.patch_match
+    n = len(tab["image_id"])
+    if n == 0:
+        store.write_table("patch_match", {
+            "image_id": np.zeros(0, np.int64), "depth_map": [],
+            "normal_map": [], "cost_map": []},
+            meta={"stage": "patch_match"})
+        return 0
+    canvas_h = max(int(h) for h in tab["height"])
+    canvas_w = max(int(w) for w in tab["width"])
+    canvas_h, canvas_w = _round_up(canvas_h, 32), _round_up(canvas_w, 32)
+
+    Rm = np.asarray(tab["R"]).reshape(n, 3, 3)
+    Tm = np.asarray(tab["T"]).reshape(n, 3)
+    Km = np.asarray(tab["K"]).reshape(n, 3, 3)
+
+    depth_maps, normal_maps, cost_maps, out_ids = [], [], [], []
+    S = pm.overlap
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for ref in range(n):
+        # source views: the stencil window around ref (reference uses the
+        # next `overlap` rows; symmetric is strictly better)
+        srcs = [s for s in range(max(0, ref - S // 2), min(n, ref + S // 2 + S % 2 + 1))
+                if s != ref][:S]
+        src_imgs = np.zeros((S, canvas_h, canvas_w), np.float32)
+        Ks = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        Rs = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        ts = np.zeros((S, 3), np.float32)
+        src_valid = np.zeros(S, bool)
+        for si, s in enumerate(srcs):
+            # bitmaps are stored canvas-padded (uniform trailing dims for the
+            # ragged column); crop to the valid region before re-padding
+            h_s, w_s = int(tab["height"][s]), int(tab["width"][s])
+            bm = np.asarray(tab["bitmap"][s])[:h_s, :w_s]
+            src_imgs[si, :bm.shape[0], :bm.shape[1]] = bm
+            Ks[si] = Km[s]
+            # relative pose ref cam -> src cam: R_rel = R_s R_r^T etc.
+            Rs[si] = Rm[s] @ Rm[ref].T
+            ts[si] = Tm[s] - Rs[si] @ Tm[ref]
+            src_valid[si] = True
+        h_r, w_r = int(tab["height"][ref]), int(tab["width"][ref])
+        ref_bm = np.asarray(tab["bitmap"][ref])[:h_r, :w_r]
+        ref_img = np.zeros((canvas_h, canvas_w), np.float32)
+        ref_img[:ref_bm.shape[0], :ref_bm.shape[1]] = ref_bm
+
+        problem = pm_ops.PatchMatchProblem(
+            ref_image=jnp.asarray(ref_img),
+            src_images=jnp.asarray(src_imgs),
+            K_ref=jnp.asarray(Km[ref]),
+            K_src=jnp.asarray(Ks),
+            R=jnp.asarray(Rs), t=jnp.asarray(ts),
+            depth_min=jnp.asarray(np.float32(tab["depth_min"][ref])),
+            depth_max=jnp.asarray(np.float32(tab["depth_max"][ref])),
+            src_valid=jnp.asarray(src_valid))
+        key, k = jax.random.split(key)
+        try:
+            depth, normal, cost = pm_ops.patch_match(
+                k, problem, num_iterations=pm.num_iterations,
+                window_radius=pm.window_radius,
+                sigma_spatial=pm.sigma_spatial, sigma_color=pm.sigma_color)
+        except Exception as e:  # per-image tolerance like patch_match.cc:108-114
+            log.warning("patch_match failed for image %d: %s", ref, e)
+            continue
+        h, w = int(tab["height"][ref]), int(tab["width"][ref])
+        depth_maps.append(np.asarray(depth)[:h, :w].astype(np.float32))
+        normal_maps.append(np.asarray(normal)[:h, :w].astype(np.float32))
+        cost_maps.append(np.asarray(cost)[:h, :w].astype(np.float32))
+        out_ids.append(int(tab["image_id"][ref]))
+    store.write_table("patch_match", {
+        "image_id": np.asarray(out_ids, np.int64),
+        "depth_map": depth_maps,
+        "normal_map": normal_maps,
+        "cost_map": cost_maps,
+    }, meta={"stage": "patch_match", "config": vars(pm),
+             "depth_maps_per_s": len(out_ids) / max(time.time() - t0, 1e-9)})
+    log.info("patch_match: %d depth maps, %.2f maps/s", len(out_ids),
+             len(out_ids) / max(time.time() - t0, 1e-9))
+    return len(out_ids)
+
+
+# ---------------------------------------------------------------------------
+# stage 8: stereo fusion
+# ---------------------------------------------------------------------------
+
+def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+               ply_path: Optional[str] = None):
+    """Fuse all depth maps into a colored point cloud (COLMAP StereoFusion
+    semantics via batched consistency voting — ops/fusion.py)."""
+    store = store or ArtifactStore(cfg.store_path)
+    pm_tab = store.read_table("patch_match")
+    prep = store.read_table("prepare_patch_match")
+    fu = cfg.fusion
+    ids = [int(i) for i in pm_tab["image_id"]]
+    if not ids:
+        store.write_table("fused", {
+            "xyz": np.zeros((0, 3), np.float32),
+            "rgb": np.zeros((0, 3), np.uint8),
+            "normal": np.zeros((0, 3), np.float32),
+            "num_consistent": np.zeros(0, np.int32),
+        }, meta={"stage": "fusion"})
+        return 0
+    prep_ids = [int(i) for i in prep["image_id"]]
+    H = max(d.shape[0] for d in pm_tab["depth_map"])
+    W = max(d.shape[1] for d in pm_tab["depth_map"])
+    N = len(ids)
+    depths = np.zeros((N, H, W), np.float32)
+    normals = np.zeros((N, H, W, 3), np.float32)
+    colors = np.zeros((N, H, W, 3), np.float32)
+    valid = np.zeros((N, H, W), bool)
+    qvecs = np.zeros((N, 4))
+    tvecs = np.zeros((N, 3))
+    Ks = np.zeros((N, 3, 3))
+    for n, iid in enumerate(ids):
+        pidx = prep_ids.index(iid)
+        d = np.asarray(pm_tab["depth_map"][n])
+        nm = np.asarray(pm_tab["normal_map"][n])
+        c = np.asarray(pm_tab["cost_map"][n])
+        bm = np.asarray(prep["bitmap"][pidx])
+        h, w = d.shape
+        depths[n, :h, :w] = d
+        normals[n, :h, :w] = nm
+        colors[n, :h, :w] = bm[:h, :w, None]
+        valid[n, :h, :w] = c < (2.0 - cfg.patch_match.filter_min_ncc)
+        Rm = np.asarray(prep["R"][pidx]).reshape(3, 3)
+        qvecs[n] = np.asarray(geom.rotmat_to_quat(Rm))
+        tvecs[n] = prep["T"][pidx]
+        Ks[n] = np.asarray(prep["K"][pidx]).reshape(3, 3)
+
+    inp = fusion_ops.FusionInput(
+        depths=jnp.asarray(depths), normals=jnp.asarray(normals),
+        colors=jnp.asarray(colors), qvecs=jnp.asarray(qvecs),
+        tvecs=jnp.asarray(tvecs), Ks=jnp.asarray(Ks),
+        valid=jnp.asarray(valid))
+    t0 = time.time()
+    out = fusion_ops.fuse_depth_maps(
+        inp, max_depth_error=fu.max_depth_error,
+        max_normal_error_rad=math.radians(fu.max_normal_error_deg),
+        min_num_consistent=fu.min_num_consistent)
+    pts = fusion_ops.compact_fused_points(out)
+    rate = len(pts["xyz"]) / max(time.time() - t0, 1e-9)
+    store.write_table("fused", {
+        "xyz": pts["xyz"].astype(np.float32),
+        "rgb": np.clip(pts["rgb"] * 255, 0, 255).astype(np.uint8),
+        "normal": pts["normal"].astype(np.float32),
+        "num_consistent": pts["num_consistent"].astype(np.int32),
+        "visibility": pts["visibility"],
+    }, meta={"stage": "fusion", "fused_points_per_s": rate})
+    if ply_path:
+        fusion_ops.write_ply(ply_path, pts["xyz"], pts["rgb"], pts["normal"])
+    log.info("fusion: %d points, %.0f pts/s", len(pts["xyz"]), rate)
+    return len(pts["xyz"])
+
+
+# ---------------------------------------------------------------------------
+# end-to-end driver (the unified pipeline scanner-colmap.py failed to be)
+# ---------------------------------------------------------------------------
+
+def run_all(cfg: PipelineConfig, export_path: Optional[str] = None,
+            ply_path: Optional[str] = None, dense: bool = True,
+            resume: bool = False):
+    """End-to-end pipeline. With resume=True, stages whose output table
+    already exists are skipped — crash recovery is rerun-from-last-table,
+    like the reference's materialized-table model but without force=True
+    clobbering everything (SURVEY §5 checkpoint/resume)."""
+    store = ArtifactStore(cfg.store_path)
+
+    def need(table):
+        return not (resume and store.has_table(table))
+
+    if need("frames"):
+        prepare_images(cfg, store)
+    if need("extraction"):
+        run_extraction(cfg, store)
+    if need("matching"):
+        run_matching(cfg, store)
+    if need("mapping"):
+        run_mapping(cfg, store)
+    if need("models"):
+        model = run_merge(cfg, store, export_path=export_path)
+    else:
+        model = load_model(store)
+    if dense:
+        if need("prepare_patch_match"):
+            run_prepare_patch_match(cfg, store)
+        if need("patch_match"):
+            run_patch_match(cfg, store)
+        if need("fused"):
+            run_fusion(cfg, store, ply_path=ply_path)
+    return model

@@ -1,0 +1,161 @@
+"""Synthetic dataset generator: renders an image collection with known
+geometry for end-to-end tests, benchmarks, and ATE evaluation without
+external data (the reference points at COLMAP's Gerrard Hall downloads,
+README.md:70-71 — not available in a zero-egress environment).
+
+Scene: a textured wall of Gaussian blobs + depth variation, viewed from a
+translating/rotating camera track. Writes PNG images + ground-truth poses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from scanner_colmap_tpu.models import geometry as geom
+
+
+def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
+                     height: int = 240, focal: float = 300.0,
+                     num_blobs: int = 400, seed: int = 0,
+                     depth0: float = 8.0, depth_spread: float = 2.5):
+    """Render images of a 3D blob field. Returns ground-truth dict."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # 3D feature field. Plain symmetric blobs are all alike — every
+    # descriptor matches every other and the ratio test kills everything —
+    # so each feature is a small 3D CONSTELLATION of 2-4 sub-blobs with
+    # random offsets/sizes/signed amplitudes: locally unique appearance
+    # that moves rigidly and consistently under viewpoint change.
+    # Features sit on a SMOOTH SURFACE (undulating wall), not a random 3D
+    # cloud: with independent random depths, neighboring features slide past
+    # each other by many pixels per view and descriptor windows (which span
+    # several features) never repeat — no descriptor could match that. Real
+    # scenes are locally surface-like, which is what SIFT assumes.
+    span = depth0 * 0.9
+    cx_ = rng.uniform(-span, span, num_blobs)
+    cy_ = rng.uniform(-span * 0.75, span * 0.75, num_blobs)
+
+    def surface_z(x, y):
+        return depth0 + depth_spread * (
+            0.5 * np.sin(0.45 * x) * np.cos(0.35 * y) + 0.25 * np.sin(0.9 * y))
+
+    centers = np.stack([cx_, cy_, surface_z(cx_, cy_)], axis=1)
+    sub_pts, sub_sizes, sub_amps = [], [], []
+    for c in centers:
+        k = rng.integers(2, 5)
+        offs = np.zeros((k, 3))
+        # in-surface offsets only (z follows the surface): stable appearance
+        offs[1:, :2] = rng.uniform(-0.12, 0.12, size=(k - 1, 2)) * depth0 / 8.0
+        amp0 = rng.uniform(0.5, 1.0)
+        for m in range(k):
+            p = c + offs[m]
+            p[2] = surface_z(p[0], p[1])
+            sub_pts.append(p)
+            sub_sizes.append(rng.uniform(3.0, 7.0) if m == 0
+                             else rng.uniform(1.8, 4.0))
+            sub_amps.append(amp0 if m == 0
+                            else rng.uniform(0.3, 0.9) * rng.choice([-1.0, 1.0]))
+    pts = np.asarray(sub_pts)
+    sizes = np.asarray(sub_sizes)
+    amps = np.abs(np.asarray(sub_amps))
+    signs = np.sign(np.asarray(sub_amps))
+    # ground-truth 3D points = the feature centers
+    gt_points = centers
+
+    qs, ts = [], []
+    track_radius = depth0 * 0.45
+    for i in range(num_images):
+        # arc track looking inward
+        frac = i / max(num_images - 1, 1) - 0.5
+        yaw = -frac * 0.5
+        aa = np.array([0.0, yaw, 0.0])
+        q = geom.np_angle_axis_to_quat(aa)
+        C = np.array([frac * 2 * track_radius, 0.15 * np.sin(frac * 6), 0.0])
+        t = -np.asarray(geom.np_quat_rotate(q, C))
+        qs.append(q)
+        ts.append(t)
+
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    cx, cy = width / 2.0, height / 2.0
+
+    from PIL import Image as PILImage
+
+    for i in range(num_images):
+        x_cam = np.asarray(geom.np_pose_transform(qs[i], ts[i], pts))
+        vis = x_cam[:, 2] > 1.0
+        u = focal * x_cam[:, 0] / x_cam[:, 2] + cx
+        v = focal * x_cam[:, 1] / x_cam[:, 2] + cy
+        # perspective blob size
+        s_px = sizes * focal / x_cam[:, 2] / 40.0
+        img = np.full((height, width), 0.15)
+        for b in np.nonzero(vis)[0]:
+            if u[b] < -20 or u[b] > width + 20 or v[b] < -20 or v[b] > height + 20:
+                continue
+            s = max(s_px[b], 1.2)
+            r = int(4 * s) + 1
+            y0, y1 = max(int(v[b]) - r, 0), min(int(v[b]) + r + 1, height)
+            x0, x1 = max(int(u[b]) - r, 0), min(int(u[b]) + r + 1, width)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            patch = np.exp(-((xx[y0:y1, x0:x1] - u[b]) ** 2
+                             + (yy[y0:y1, x0:x1] - v[b]) ** 2) / (2 * s * s))
+            img[y0:y1, x0:x1] += signs[b] * amps[b] * patch
+        img = np.clip(img, 0, 1)
+        PILImage.fromarray((img * 255).astype(np.uint8), "L").convert("RGB").save(
+            os.path.join(out_dir, f"image_{i:04d}.png"))
+
+    gt = {
+        "focal": focal, "width": width, "height": height,
+        "qvecs": [q.tolist() for q in qs],
+        "tvecs": [t.tolist() for t in ts],
+        "points": gt_points.tolist(),
+    }
+    with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
+        json.dump(gt, f)
+    return gt
+
+
+def load_ground_truth(image_dir: str):
+    with open(os.path.join(image_dir, "ground_truth.json")) as f:
+        gt = json.load(f)
+    gt["qvecs"] = np.asarray(gt["qvecs"])
+    gt["tvecs"] = np.asarray(gt["tvecs"])
+    gt["points"] = np.asarray(gt["points"])
+    return gt
+
+
+def evaluate_ate(rec, gt, id_order=None):
+    """RMS absolute trajectory error after Sim(3) alignment (the eval the
+    driver's north star asks for: ATE vs reference trajectories)."""
+    import jax.numpy as jnp
+
+    est, ref = [], []
+    for iid in rec.registered_image_ids:
+        est.append(rec.images[iid].projection_center())
+        ref.append(np.asarray(geom.np_projection_center(
+            gt["qvecs"][iid], gt["tvecs"][iid])))
+    if len(est) < 3:
+        return float("inf")
+    est, ref = np.stack(est), np.stack(ref)
+    s, q, t = geom.umeyama_alignment(jnp.asarray(est), jnp.asarray(ref))
+    aligned = np.asarray(geom.sim3_transform(float(s), np.asarray(q),
+                                             np.asarray(t), est))
+    return float(np.sqrt(np.mean(np.sum((aligned - ref) ** 2, axis=-1))))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--num_images", type=int, default=12)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    generate_dataset(a.out_dir, a.num_images, a.width, a.height, seed=a.seed)
+    print(f"wrote {a.num_images} images to {a.out_dir}")

@@ -66,6 +66,10 @@ class MapperConfig:
     min_tri_angle_deg: float = 1.5      # triangulation filter
     filter_max_reproj_error: float = 4.0
     max_reg_trials: int = 3
+    # intrinsic-prior strength in BA (pulls focal to its init and k1 to 0;
+    # breaks the per-image focal/depth near-degeneracy on weak-parallax data)
+    intr_prior_weight_f: float = 300.0
+    intr_prior_weight_k: float = 3000.0
     # BA schedule (incremental_mapping.cc:86-139, 339-350)
     ba_local_max_num_iterations: int = 25
     ba_local_max_refinements: int = 2
@@ -87,7 +91,7 @@ class MapperConfig:
 class MergeConfig:
     """Submodel merging (merge_mapping.cc:17,61: kMaxReprojError=64)."""
     max_reproj_error: float = 64.0
-    min_common_images: int = 3
+    min_common_images: int = 2
 
 
 @dataclasses.dataclass

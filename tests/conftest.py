@@ -21,6 +21,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "true"
+# persistent compile cache: the suite is compile-dominated on CPU; repeat
+# runs hit the cache (safe here — the axon compile hook is already removed)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 _NEEDS_REEXEC = (
     os.environ.get("PALLAS_AXON_POOL_IPS")

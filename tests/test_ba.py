@@ -54,6 +54,10 @@ def make_bundle_problem(rng, M=6, P=64, T=6, noise_px=1.0, pose_noise=0.02,
         refine_focal=jnp.asarray(False),
         refine_distortion=jnp.asarray(False),
         loss_scale=jnp.asarray(4.0),
+        prior_log_f=jnp.full(M, np.log(focal * (1 + focal_err))),
+        prior_k1=jnp.zeros(M),
+        prior_weight_f=jnp.asarray(0.0),
+        prior_weight_k=jnp.asarray(0.0),
     )
     return params, obs, cfg, (q_gt, t_gt, pts_gt)
 

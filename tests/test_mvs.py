@@ -1,0 +1,172 @@
+"""PatchMatch stereo + fusion tests on synthetic textured planes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.ops import fusion, patch_match
+
+
+def make_plane_scene(rng, H=48, W=64, depth0=5.0, S=3, focal=80.0,
+                     slope=0.0):
+    """A fronto-parallel (or sloped) textured plane seen from S+1 cameras.
+
+    Returns (problem, gt_depth). Texture = smooth random field (so NCC has
+    gradient signal)."""
+    # random smooth texture on the plane, sampled in world coords
+    tex = rng.uniform(0, 1, size=(160, 160)).astype(np.float32)
+    # smooth it a bit
+    k = np.ones((5, 5)) / 25.0
+    from scipy.signal import convolve2d
+
+    tex = convolve2d(tex, k, mode="same", boundary="symm").astype(np.float32)
+
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+
+    def render(q, t):
+        """Ray-cast the plane z = depth0 + slope * x (world)."""
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        xn = (xx - K[0, 2]) / K[0, 0]
+        yn = (yy - K[1, 2]) / K[1, 1]
+        qi, ti = geom.pose_inverse(q, t)
+        qi, ti = np.asarray(qi), np.asarray(ti)
+        # camera center + ray direction in world
+        C = ti
+        d = np.stack([xn, yn, np.ones_like(xn)], -1) @ np.asarray(
+            geom.quat_to_rotmat(qi)).T
+        # plane: z - slope * x = depth0  ->  t = (depth0 + slope*Cx - Cz)/(dz - slope*dx)
+        denom = d[..., 2] - slope * d[..., 0]
+        tt = (depth0 + slope * C[0] - C[2]) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        Xw = C + tt[..., None] * d
+        # texture lookup by world (x, y)
+        u = (Xw[..., 0] * 20.0) % 160
+        v = (Xw[..., 1] * 20.0) % 160
+        img = tex[np.clip(v.astype(int), 0, 159), np.clip(u.astype(int), 0, 159)]
+        depth = tt * 1.0  # camera-frame z: for identity-rotation ref this is z
+        x_cam = np.asarray(geom.np_pose_transform(q, t, Xw))
+        return img.astype(np.float32), x_cam[..., 2].astype(np.float32)
+
+    q_ref = np.array([1.0, 0, 0, 0])
+    t_ref = np.zeros(3)
+    ref_img, gt_depth = render(q_ref, t_ref)
+
+    srcs, Rs, ts, Kss = [], [], [], []
+    for s in range(S):
+        q = np.asarray(geom.angle_axis_to_quat(rng.normal(size=3) * 0.01))
+        t = np.array([(s + 1) * 0.25 * (-1) ** s, 0.02 * s, 0.0])
+        img, _ = render(q, t)
+        srcs.append(img)
+        Rs.append(np.asarray(geom.quat_to_rotmat(q)))
+        ts.append(t)
+        Kss.append(K)
+
+    problem = patch_match.PatchMatchProblem(
+        ref_image=jnp.asarray(ref_img),
+        src_images=jnp.asarray(np.stack(srcs)),
+        K_ref=jnp.asarray(K),
+        K_src=jnp.asarray(np.stack(Kss)),
+        R=jnp.asarray(np.stack(Rs)),
+        t=jnp.asarray(np.stack(ts)),
+        depth_min=jnp.asarray(depth0 * 0.5),
+        depth_max=jnp.asarray(depth0 * 1.5),
+        src_valid=jnp.ones(S, bool),
+    )
+    return problem, gt_depth
+
+
+def test_plane_costs_prefers_true_depth(rng):
+    problem, gt_depth = make_plane_scene(rng)
+    H, W = gt_depth.shape
+    n = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)
+    c_true = np.asarray(patch_match.plane_costs(
+        problem, jnp.asarray(gt_depth), n))
+    c_wrong = np.asarray(patch_match.plane_costs(
+        problem, jnp.asarray(gt_depth * 1.3), n))
+    # interior pixels: true depth must beat wrong depth clearly
+    sl = (slice(8, H - 8), slice(8, W - 8))
+    assert c_true[sl].mean() < 0.25
+    assert c_true[sl].mean() < c_wrong[sl].mean() - 0.2
+
+
+@pytest.mark.slow
+def test_patch_match_recovers_plane_depth(rng):
+    problem, gt_depth = make_plane_scene(rng)
+    depth, normal, cost = patch_match.patch_match(
+        jax.random.PRNGKey(0), problem, num_iterations=6)
+    depth = np.asarray(depth)
+    H, W = gt_depth.shape
+    sl = (slice(8, H - 8), slice(8, W - 8))
+    rel = np.abs(depth[sl] - gt_depth[sl]) / gt_depth[sl]
+    # majority of interior pixels within 2% depth error
+    assert np.median(rel) < 0.02, np.median(rel)
+    # normals roughly fronto-parallel on average (NCC constrains normals
+    # weakly at small baselines; exact orientation isn't expected)
+    nz = np.asarray(normal)[sl][..., 2]
+    assert np.mean(nz) < -0.75, np.mean(nz)
+
+
+def test_fusion_consistent_views_emit_points(rng):
+    """Three views of a plane with perfect depths -> fused cloud on plane."""
+    H, W, S = 32, 40, 2
+    focal = 60.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+    depth0 = 4.0
+    qs = [np.array([1.0, 0, 0, 0])]
+    ts = [np.zeros(3)]
+    for s in range(S):
+        qs.append(np.array([1.0, 0, 0, 0]))
+        ts.append(np.array([0.3 * (s + 1), 0, 0]))
+    N = S + 1
+    depths = np.zeros((N, H, W), np.float64)
+    normals = np.zeros((N, H, W, 3))
+    normals[..., 2] = -1.0
+    colors = np.full((N, H, W, 3), 0.5)
+    # analytic depth of the plane z=depth0 for each camera (identity rotations)
+    for i in range(N):
+        depths[i] = depth0  # fronto-parallel plane, z const in world = cam z
+    inp = fusion.FusionInput(
+        depths=jnp.asarray(depths), normals=jnp.asarray(normals),
+        colors=jnp.asarray(colors), qvecs=jnp.asarray(np.stack(qs)),
+        tvecs=jnp.asarray(np.stack(ts)), Ks=jnp.asarray(np.stack([K] * N)),
+        valid=jnp.ones((N, H, W), bool))
+    out = fusion.fuse_depth_maps(inp, min_num_consistent=2)
+    pts = fusion.compact_fused_points(out)
+    assert len(pts["xyz"]) > H * W * 0.5  # plenty of fused points
+    # fused points lie on the plane z = depth0 (world)
+    assert np.allclose(pts["xyz"][:, 2], depth0, atol=0.05)
+    # leadership dedup: total emitted < total valid pixels (no N-fold dup)
+    assert len(pts["xyz"]) < 1.5 * H * W
+
+
+def test_fusion_inconsistent_views_no_points(rng):
+    H, W = 24, 24
+    K = np.array([[50.0, 0, 12], [0, 50.0, 12], [0, 0, 1.0]])
+    depths = np.stack([np.full((H, W), 3.0), np.full((H, W), 9.0)])
+    normals = np.zeros((2, H, W, 3))
+    normals[..., 2] = -1.0
+    inp = fusion.FusionInput(
+        depths=jnp.asarray(depths), normals=jnp.asarray(normals),
+        colors=jnp.zeros((2, H, W, 3)),
+        qvecs=jnp.asarray(np.tile([1.0, 0, 0, 0], (2, 1))),
+        tvecs=jnp.asarray(np.stack([np.zeros(3), np.array([0.3, 0, 0])])),
+        Ks=jnp.asarray(np.stack([K, K])),
+        valid=jnp.ones((2, H, W), bool))
+    out = fusion.fuse_depth_maps(inp, min_num_consistent=2)
+    pts = fusion.compact_fused_points(out)
+    assert len(pts["xyz"]) == 0
+
+
+def test_write_ply_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(10, 3)).astype(np.float32)
+    rgb = (rng.uniform(0, 1, (10, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "cloud.ply")
+    fusion.write_ply(p, xyz, rgb)
+    data = open(p, "rb").read()
+    assert b"element vertex 10" in data
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    body = np.frombuffer(data[header_end:], dtype=np.dtype(
+        [("xyz", "<f4", 3), ("rgb", "u1", 3)]))
+    assert np.allclose(body["xyz"], xyz)
+    assert np.array_equal(body["rgb"], rgb)

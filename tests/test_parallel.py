@@ -1,0 +1,69 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: halo exchange,
+distributed Schur BA (vs single-device reference), fused step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scanner_colmap_tpu.ops import ba
+from scanner_colmap_tpu.parallel import dist_ba
+from scanner_colmap_tpu.parallel.halo import windowed_gather
+from scanner_colmap_tpu.parallel.mesh import make_mesh
+from scanner_colmap_tpu.parallel.step import make_distributed_step
+
+from tests.test_ba import make_bundle_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(num_devices=8)
+
+
+def test_windowed_gather_halo(mesh):
+    x = jnp.arange(32.0).reshape(32, 1)
+    out = np.asarray(windowed_gather(mesh, x, halo=2))
+    # per shard: 4 own rows + 2 halo rows from the next shard
+    out = out.reshape(8, 6, 1)
+    for s in range(8):
+        own = np.arange(s * 4, s * 4 + 4)
+        nxt = (np.arange(s * 4 + 4, s * 4 + 6)) % 32
+        assert np.array_equal(out[s, :4, 0], own)
+        assert np.array_equal(out[s, 4:, 0], nxt)
+
+
+def test_distributed_ba_matches_single_device(rng, mesh):
+    params, obs, cfg, gt = make_bundle_problem(rng, M=6, P=64, T=4)
+    # single device
+    p1, info1 = ba.bundle_adjust(params, obs, cfg, max_iterations=10, chunk=8)
+    # 8-way point sharding
+    p8, info8 = dist_ba.distributed_bundle_adjust(
+        mesh, params, obs, cfg, max_iterations=10, chunk=8)
+    assert np.isclose(float(info1["final_cost"]), float(info8["final_cost"]),
+                      rtol=1e-6), (info1, info8)
+    assert np.allclose(np.asarray(p1.qvec), np.asarray(p8.qvec), atol=1e-8)
+    assert np.allclose(np.asarray(p1.xyz), np.asarray(p8.xyz), atol=1e-6)
+
+
+def test_distributed_ba_converges(rng, mesh):
+    params, obs, cfg, (q_gt, t_gt, pts_gt) = make_bundle_problem(
+        rng, M=6, P=64, T=4, noise_px=0.3)
+    p8, info8 = dist_ba.distributed_bundle_adjust(
+        mesh, params, obs, cfg, max_iterations=25, chunk=8)
+    assert float(info8["final_cost"]) < 0.3 * float(info8["initial_cost"])
+    assert float(info8["mean_reproj_px"]) < 1.0
+
+
+def test_fused_step_runs(rng, mesh):
+    from __graft_entry__ import _synthetic_bundle
+
+    M, K = 32, 32
+    params, obs, cfg, desc, kp_valid = _synthetic_bundle(M=M, Pn=256, T=4, K=K)
+    step = make_distributed_step(mesh, overlap=2, ba_iterations=2, chunk=16)
+    idx, ok, p_out, info = step(desc, kp_valid, params, obs, cfg)
+    assert idx.shape == (M, 2, K)
+    assert float(info["final_cost"]) <= float(info["initial_cost"])
+    # identical descriptors at the same index across images -> diagonal match
+    # (each image's descriptors are random; just check mask sanity)
+    assert bool(jnp.all(jnp.isfinite(p_out.xyz)))

@@ -1,0 +1,84 @@
+"""Full-pipeline integration test: synthetic rendered dataset -> all 8
+stages -> ATE vs ground truth (the minimum end-to-end slice, SURVEY §7.3)."""
+
+import numpy as np
+import pytest
+
+from scanner_colmap_tpu.pipeline import stages, synth
+from scanner_colmap_tpu.utils.config import PipelineConfig
+from scanner_colmap_tpu.utils.store import ArtifactStore
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    gt = synth.generate_dataset(str(d), num_images=8, width=320, height=240,
+                                num_blobs=350, seed=1)
+    return str(d), gt
+
+
+@pytest.fixture(scope="module")
+def cfg(dataset, tmp_path_factory):
+    image_dir, gt = dataset
+    cfg = PipelineConfig()
+    cfg.image_path = image_dir
+    cfg.store_path = str(tmp_path_factory.mktemp("store"))
+    cfg.sift.max_image_size = 320
+    cfg.sift.max_num_features = 512
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 4
+    cfg.matching.min_num_inliers = 12
+    cfg.mapper.cluster_size = 8
+    cfg.mapper.cluster_overlap = 3
+    cfg.mapper.init_min_num_inliers = 20
+    cfg.mapper.abs_pose_min_num_inliers = 12
+    cfg.patch_match.max_image_size = 96
+    cfg.patch_match.overlap = 3
+    cfg.patch_match.num_iterations = 3
+    cfg.patch_match.window_radius = 2
+    return cfg
+
+
+@pytest.mark.slow
+def test_sparse_pipeline_e2e(cfg, dataset):
+    image_dir, gt = dataset
+    store = ArtifactStore(cfg.store_path)
+
+    n = stages.prepare_images(cfg, store)
+    assert n == 8
+    feats = stages.run_extraction(cfg, store)
+    assert np.mean(feats) > 50, "too few SIFT features on synthetic scene"
+    n_pairs = stages.run_matching(cfg, store)
+    assert n_pairs >= 8, f"only {n_pairs} verified pairs"
+    n_sub = stages.run_mapping(cfg, store)
+    assert n_sub >= 1
+    model = stages.run_merge(cfg, store)
+    assert model.num_registered >= 6, \
+        f"registered only {model.num_registered}/8"
+    assert len(model.points3D) > 60
+    assert model.mean_reprojection_error() < 2.0
+
+    ate = synth.evaluate_ate(model, gt)
+    # scene scale ~8 units; require < 2% of scale
+    assert ate < 0.16, f"ATE {ate}"
+
+
+@pytest.mark.slow
+def test_dense_pipeline_e2e(cfg, dataset):
+    """Stages 6-8 on top of the sparse result (needs sparse test run first
+    in the same session — shared store fixture)."""
+    store = ArtifactStore(cfg.store_path)
+    if not store.has_table("models"):
+        pytest.skip("sparse stage not run")
+    n_prep = stages.run_prepare_patch_match(cfg, store)
+    assert n_prep >= 5
+    n_dm = stages.run_patch_match(cfg, store)
+    assert n_dm == n_prep
+    n_pts = stages.run_fusion(cfg, store)
+    # blobby synthetic texture is hard for NCC; just require real output
+    assert n_pts > 500, f"only {n_pts} fused points"
+    fused = store.read_table("fused")
+    xyz = fused["xyz"]
+    # fused points near the blob field depth range (z in [depth0 +- spread],
+    # scene scale recovered by SfM is arbitrary -> compare relative spread)
+    assert np.isfinite(xyz).all()
