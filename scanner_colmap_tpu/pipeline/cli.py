@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub = p.add_subparsers(dest="stage", required=True)
 
-    sub.add_parser("prepare_images", help="stage 1: ingest + id assignment")
+    pi = sub.add_parser("prepare_images", help="stage 1: ingest + id assignment")
+    pi.add_argument("--stride", type=int, default=1,
+                    help="sample every Nth frame (video/sequence sampling)")
+    pi.add_argument("--range", type=int, nargs=2, metavar=("START", "END"),
+                    help="frame index range [START, END)")
 
     e = sub.add_parser("extraction", help="stage 2: SIFT features")
     e.add_argument("--max_image_size", type=int)
@@ -116,7 +120,9 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     if args.stage == "prepare_images":
-        stages.prepare_images(cfg, store)
+        stages.prepare_images(cfg, store, stride=getattr(args, "stride", 1),
+                              frame_range=tuple(args.range) if getattr(
+                                  args, "range", None) else None)
     elif args.stage == "extraction":
         stages.run_extraction(cfg, store)
     elif args.stage == "feature_matching":

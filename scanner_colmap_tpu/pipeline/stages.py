@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -57,11 +58,30 @@ def _round_up(n, m):
 # stage 1: prepare_images
 # ---------------------------------------------------------------------------
 
-def prepare_images(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
-    """List + probe the image collection; ids = sorted order (fixes the
-    reference's stateful id counter, SURVEY §8.5)."""
+def prepare_images(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                   stride: int = 1, frame_range: Optional[tuple] = None):
+    """Ingest the collection; ids = sorted order (fixes the reference's
+    stateful id counter, SURVEY §8.5).
+
+    Input sampling mirrors Scanner's lazy Stride/Range operators
+    (SURVEY §2.2: db.streams.Stride/Range; video frame sampling README.md:3):
+    - a DIRECTORY of images: sorted listing, then [range] then [::stride]
+    - a VIDEO file: frames are decoded at `stride` intervals into
+      <store>/video_frames/ (requires an imageio backend for the container;
+      a clear error otherwise) and treated as the image directory
+    """
     store = store or ArtifactStore(cfg.store_path)
-    paths = image_ops.list_images(cfg.image_path)
+    src = cfg.image_path
+    if os.path.isfile(src):
+        src = _extract_video_frames(src, os.path.join(store.root, "video_frames"),
+                                    stride=stride, frame_range=frame_range)
+        paths = image_ops.list_images(src)
+    else:
+        paths = image_ops.list_images(src)
+        if frame_range is not None:
+            paths = paths[frame_range[0]:frame_range[1]]
+        if stride > 1:
+            paths = paths[::stride]
     if not paths:
         raise FileNotFoundError(f"no images under {cfg.image_path}")
     names, widths, heights = [], [], []
@@ -78,9 +98,42 @@ def prepare_images(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         "path": names,
         "width": np.asarray(widths, np.int32),
         "height": np.asarray(heights, np.int32),
-    }, meta={"stage": "prepare_images", "image_path": cfg.image_path})
+    }, meta={"stage": "prepare_images", "image_path": cfg.image_path,
+             "stride": stride})
     log.info("prepare_images: %d frames", len(paths))
     return len(paths)
+
+
+def _extract_video_frames(video_path: str, out_dir: str, stride: int = 1,
+                          frame_range: Optional[tuple] = None) -> str:
+    """Decode a video's frames (every `stride`-th) to PNGs. Uses imageio;
+    raises a clear error when no backend can open the container."""
+    import os as _os
+
+    try:
+        import imageio.v3 as iio
+    except ImportError as e:
+        raise RuntimeError("video input requires imageio") from e
+    _os.makedirs(out_dir, exist_ok=True)
+    from PIL import Image as PILImage
+
+    n_out = 0
+    try:
+        for i, frame in enumerate(iio.imiter(video_path)):
+            if frame_range is not None and (i < frame_range[0]
+                                            or i >= frame_range[1]):
+                continue
+            if i % stride:
+                continue
+            PILImage.fromarray(np.asarray(frame)).convert("RGB").save(
+                _os.path.join(out_dir, f"frame_{i:06d}.png"))
+            n_out += 1
+    except Exception as e:
+        raise RuntimeError(
+            f"cannot decode video {video_path!r}: {e}. The baked image lacks "
+            "an ffmpeg backend; pre-extract frames to a directory instead.") from e
+    log.info("video: extracted %d frames (stride %d)", n_out, stride)
+    return out_dir
 
 
 # ---------------------------------------------------------------------------
@@ -201,38 +254,47 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
 
     t0 = time.time()
     n_img = len(image_ids)
-    W = m.overlap + 1
 
-    # ---- phase 1: ALL windows matched in ONE device dispatch -------------
-    # pad the ordered image axis with `overlap` empty rows so every pivot
-    # has a full static window (the stencil materialization the Scanner
-    # runtime did for the reference — feature_matching.py:43)
-    Dp = np.concatenate([D, np.zeros((m.overlap, K_max, 128), np.float32)])
-    Vp = np.concatenate([V, np.zeros((m.overlap, K_max), bool)])
+    # pair schedule along the ordered axis (the reference's stencil,
+    # feature_matching.py:43): linear offsets 1..overlap, or quadratic
+    # offsets 1,2,4,... (colmap.proto:61-65 — flag the reference never used)
+    if m.quadratic_overlap:
+        offsets = sorted({1 << i for i in range(max(m.overlap, 1))})
+    else:
+        offsets = list(range(1, m.overlap + 1))
+    sched = [(a, a + off) for off in offsets for a in range(n_img)
+             if a + off < n_img]
+
+    # ---- phase 1: ALL scheduled pairs matched in ONE device dispatch -----
+    NPairs = len(sched)
+    NP1 = 8
+    while NP1 < max(NPairs, 1):
+        NP1 *= 2
+    ai = np.zeros(NP1, np.int32)
+    bi = np.zeros(NP1, np.int32)
+    for n, (a, b) in enumerate(sched):
+        ai[n], bi[n] = a, b
 
     @jax.jit
-    def match_all(d, v):
-        def per_pivot(a):
-            win_d = jax.lax.dynamic_slice_in_dim(d, a, W, 0)
-            win_v = jax.lax.dynamic_slice_in_dim(v, a, W, 0)
-            return matching_ops.match_window(
-                win_d, win_v, max_ratio=m.max_ratio,
+    def match_all(d, v, ai, bi):
+        def per_pair(args):
+            a, b = args
+            return matching_ops.match_descriptors(
+                d[a], d[b], v[a], v[b], max_ratio=m.max_ratio,
                 max_distance=m.max_distance, cross_check=m.cross_check)
-        return jax.lax.map(per_pivot, jnp.arange(n_img))
+        return jax.lax.map(per_pair, (ai, bi))
 
-    idx_all, ok_all = match_all(jnp.asarray(Dp), jnp.asarray(Vp))
-    idx_all = np.asarray(idx_all)  # (n_img, overlap, K_max)
+    idx_all, ok_all = match_all(jnp.asarray(D), jnp.asarray(V),
+                                jnp.asarray(ai), jnp.asarray(bi))
+    idx_all = np.asarray(idx_all)  # (NP1, K_max)
     ok_all = np.asarray(ok_all)
 
     # ---- phase 2: collect candidate pairs (host) -------------------------
     cand = []  # (ia, ib, sel, idx_row)
-    for a in range(n_img):
-        for wi in range(1, min(W, n_img - a)):
-            b = a + wi
-            sel = np.nonzero(ok_all[a, wi - 1])[0]
-            if len(sel) >= m.min_num_inliers:
-                cand.append((image_ids[a], image_ids[b], sel,
-                             idx_all[a, wi - 1]))
+    for n, (a, b) in enumerate(sched):
+        sel = np.nonzero(ok_all[n])[0]
+        if len(sel) >= m.min_num_inliers:
+            cand.append((image_ids[a], image_ids[b], sel, idx_all[n]))
 
     # ---- phase 3: ALL two-view geometries in ONE device dispatch ---------
     pair_ids, tvg_rows, match_lists = [], [], []
@@ -291,6 +353,10 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
                 tvg.E[n].ravel(), tvg.F[n].ravel(), tvg.H[n].ravel()]))
             match_lists.append(pairs.astype(np.int32))
 
+        if m.guided_matching and pair_ids:
+            match_lists = _guided_rematch(
+                m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists)
+
     store.write_table("matching", {
         "pair_image_ids": np.asarray(pair_ids, np.int64).reshape(-1, 2),
         "two_view_geometry": np.stack(tvg_rows) if tvg_rows else np.zeros((0, 37)),
@@ -300,6 +366,52 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
     log.info("matching: %d verified pairs, %.2f pairs/s",
              len(pair_ids), len(pair_ids) / max(time.time() - t0, 1e-9))
     return len(pair_ids)
+
+
+def _guided_rematch(m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists):
+    """Second matching pass constrained by each pair's estimated F
+    (guided_matching capability, colmap.proto:41). One device dispatch."""
+    id_to_row = {iid: n for n, iid in enumerate(image_ids)}
+    NP = 8
+    while NP < len(pair_ids):
+        NP *= 2
+    K_max = D.shape[1]
+    a_rows = np.zeros(NP, np.int32)
+    b_rows = np.zeros(NP, np.int32)
+    Fs = np.tile(np.eye(3, dtype=np.float64), (NP, 1, 1))
+    uv_a = np.zeros((NP, K_max, 2))
+    uv_b = np.zeros((NP, K_max, 2))
+    for n, (ia, ib) in enumerate(pair_ids):
+        a_rows[n] = id_to_row[ia]
+        b_rows[n] = id_to_row[ib]
+        Fs[n] = tvg_rows[n][17:26].reshape(3, 3)
+        uv_a[n, :len(kp[ia])] = kp[ia][:, :2]
+        uv_b[n, :len(kp[ib])] = kp[ib][:, :2]
+
+    @jax.jit
+    def guided_all(d, v, ar, br, uva, uvb, fs):
+        def per_pair(args):
+            a, b, ua, ub, f = args
+            return matching_ops.match_descriptors_guided(
+                d[a], d[b], v[a], v[b], ua, ub, f,
+                max_epipolar_error=m.max_error,
+                max_distance=m.max_distance, cross_check=m.cross_check)
+        return jax.lax.map(per_pair, (ar, br, uva, uvb, fs))
+
+    idx_g, ok_g = guided_all(jnp.asarray(D), jnp.asarray(V),
+                             jnp.asarray(a_rows), jnp.asarray(b_rows),
+                             jnp.asarray(uv_a), jnp.asarray(uv_b),
+                             jnp.asarray(Fs))
+    idx_g = np.asarray(idx_g)
+    ok_g = np.asarray(ok_g)
+    out = []
+    for n, (ia, ib) in enumerate(pair_ids):
+        sel = np.nonzero(ok_g[n][:len(kp[ia])])[0]
+        pairs = np.stack([sel, idx_g[n][sel]], axis=1).astype(np.int32)
+        # keep the larger of (original inliers, guided matches)
+        out.append(pairs if len(pairs) >= len(match_lists[n])
+                   else match_lists[n])
+    return out
 
 
 def _cam_K(caminfo):
