@@ -56,6 +56,7 @@ def main():
     cfg.mapper.cluster_overlap = 4
     cfg.mapper.init_min_num_inliers = 20
     cfg.mapper.abs_pose_min_num_inliers = 12
+    cfg.mapper.single_camera = True   # one physical camera rendered the set
 
     store = ArtifactStore(cfg.store_path)
     stages.prepare_images(cfg, store)

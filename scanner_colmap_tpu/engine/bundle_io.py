@@ -119,8 +119,8 @@ def pack_bundle(
         loss_scale=jnp.asarray(np.asarray(4.0, dtype)),
         prior_log_f=jnp.asarray(log_f),
         prior_k1=jnp.zeros(M, dtype),
-        prior_weight_f=jnp.asarray(np.asarray(0.0, dtype)),
-        prior_weight_k=jnp.asarray(np.asarray(0.0, dtype)),
+        prior_weight_f=jnp.zeros(M, dtype),
+        prior_weight_k=jnp.zeros(M, dtype),
     )
     meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
     return params, obs, cfg, meta
@@ -134,6 +134,18 @@ def unpack_bundle(rec: Reconstruction, params: ba.BundleParams, meta: Dict,
     log_f = np.asarray(params.log_f)
     k1 = np.asarray(params.k1)
     xyz = np.asarray(params.xyz)
+    # average intrinsic updates across slots sharing one physical camera
+    # (shared-camera mode ties them; per-image cameras are singleton groups)
+    cam_slots: Dict[int, list] = {}
+    for s, iid in enumerate(meta["image_ids"]):
+        cam_slots.setdefault(rec.images[iid].camera_id, []).append(s)
+    log_f_eff = log_f.copy()
+    k1_eff = k1.copy()
+    for slots in cam_slots.values():
+        log_f_eff[slots] = np.mean(log_f[slots])
+        k1_eff[slots] = np.mean(k1[slots])
+    log_f, k1 = log_f_eff, k1_eff
+
     for s, iid in enumerate(meta["image_ids"]):
         im = rec.images[iid]
         im.qvec = qvec[s].copy()

@@ -69,13 +69,25 @@ class IncrementalMapper:
         self._ba_prev_num_points = 0
 
         self._init_log_f: Dict[int, float] = {}
+        # shared camera: when enabled and all images agree on model/dims,
+        # every image references ONE camera (id -1) and BA ties intrinsics
+        infos = list(self.cam_info.values())
+        share = (self.cfg.single_camera and len(infos) > 0 and all(
+            (i[0], i[2], i[3]) == (infos[0][0], infos[0][2], infos[0][3])
+            for i in infos))
+        if share:
+            model_id, params, w, h, prior = infos[0]
+            self.rec.add_camera(Camera(-1, model_id, w, h,
+                                       np.array(params, np.float64), prior))
         for iid, kps in self.kp.items():
             model_id, params, w, h, prior = self.cam_info[iid]
-            self.rec.add_camera(Camera(iid, model_id, w, h,
-                                       np.array(params, np.float64), prior))
+            cam_id = -1 if share else iid
+            if not share:
+                self.rec.add_camera(Camera(iid, model_id, w, h,
+                                           np.array(params, np.float64), prior))
             self._init_log_f[iid] = float(np.log(max(params[0], 1e-6)))
             self.rec.add_image(Image(
-                image_id=iid, camera_id=iid, name=f"image_{iid}",
+                image_id=iid, camera_id=cam_id, name=f"image_{iid}",
                 xys=kps.copy(),
                 point3D_ids=np.full(len(kps), -1, np.int64)))
 
@@ -473,16 +485,27 @@ class IncrementalMapper:
         any_prior = all(self.rec.cameras[self.rec.images[i].camera_id].prior_focal
                         for i in meta["image_ids"])
         prior_log_f = np.asarray(cfg.prior_log_f).copy()
+        # per-slot prior weight = weight of the PHYSICAL camera divided by
+        # its group size (shared-camera slots sum to one camera's prior)
+        group_size = {}
+        for iid in meta["image_ids"]:
+            cid = self.rec.images[iid].camera_id
+            group_size[cid] = group_size.get(cid, 0) + 1
+        wf = np.zeros(prior_log_f.shape[0])
+        wk = np.zeros(prior_log_f.shape[0])
         for s, iid in enumerate(meta["image_ids"]):
             prior_log_f[s] = self._init_log_f[iid]
+            g = group_size[self.rec.images[iid].camera_id]
+            wf[s] = self.cfg.intr_prior_weight_f / g
+            wk[s] = self.cfg.intr_prior_weight_k / g
         cfg = cfg._replace(
             pose_free=jnp.asarray(pose_free),
             refine_focal=jnp.asarray(bool(refine_intrinsics and not any_prior)),
             refine_distortion=jnp.asarray(bool(refine_intrinsics)),
             loss_scale=jnp.asarray(float(self.cfg.filter_max_reproj_error)),
             prior_log_f=jnp.asarray(prior_log_f),
-            prior_weight_f=jnp.asarray(float(self.cfg.intr_prior_weight_f)),
-            prior_weight_k=jnp.asarray(float(self.cfg.intr_prior_weight_k)),
+            prior_weight_f=jnp.asarray(wf),
+            prior_weight_k=jnp.asarray(wk),
         )
         p_out, info = ba.bundle_adjust(
             params, obs, cfg, max_iterations=max_iterations,

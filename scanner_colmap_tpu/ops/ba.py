@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.ops.linalg3 import inv33 as _inv33
 
 
 class BundleParams(NamedTuple):
@@ -69,8 +70,8 @@ class BundleConfig(NamedTuple):
     # data cannot (COLMAP leans on better-conditioned real imagery instead).
     prior_log_f: jax.Array       # (M,) prior focal (log px)
     prior_k1: jax.Array          # (M,)
-    prior_weight_f: jax.Array    # ()
-    prior_weight_k: jax.Array    # ()
+    prior_weight_f: jax.Array    # (M,) per-slot weight (shared-camera groups
+    prior_weight_k: jax.Array    # (M,)  divide the physical camera's prior)
 
 
 def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()) -> jax.Array:
@@ -197,32 +198,6 @@ def robust_cost(params: BundleParams, obs: BundleObs, cfg: BundleConfig,
         + cfg.prior_weight_k * (params.k1 - cfg.prior_k1) ** 2)
     n = jnp.maximum(n, 1)
     return cost, err_sum / n, n
-
-
-# ---------------------------------------------------------------------------
-# 3x3 inverse (closed-form, batched)
-# ---------------------------------------------------------------------------
-
-def _inv33(A: jax.Array) -> jax.Array:
-    """Batched closed-form 3x3 inverse via adjugate (VPU-friendly)."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    A11 = e * i - f * h
-    A12 = c * h - b * i
-    A13 = b * f - c * e
-    A21 = f * g - d * i
-    A22 = a * i - c * g
-    A23 = c * d - a * f
-    A31 = d * h - e * g
-    A32 = b * g - a * h
-    A33 = a * e - b * d
-    det = a * A11 + b * A21 + c * A31
-    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    adj = jnp.stack([
-        A11, A12, A13, A21, A22, A23, A31, A32, A33
-    ], axis=-1).reshape(A.shape)
-    return adj / det[..., None, None]
 
 
 # ---------------------------------------------------------------------------

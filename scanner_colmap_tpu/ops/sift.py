@@ -33,6 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from scanner_colmap_tpu.ops.linalg3 import det33, solve33
+
 
 class SiftFeatures(NamedTuple):
     xy: jax.Array       # (K, 2) pixel coords in input image
@@ -166,9 +168,9 @@ def detect_octave_extrema(
         jnp.stack([dxs, dxy, dxx], -1),
     ], -2)  # (S, H, W, 3, 3)
     g = jnp.stack([ds, dy, dx], -1)
-    det3 = jnp.linalg.det(Hm)
+    det3 = det33(Hm)
     Hm_safe = Hm + 1e-10 * jnp.eye(3, dtype=d.dtype)
-    offset = -jnp.linalg.solve(Hm_safe, g[..., None])[..., 0]  # (S,H,W,3)
+    offset = -solve33(Hm_safe, g)  # (S,H,W,3)
     offset = jnp.clip(offset, -1.5, 1.5)
     refined = d + 0.5 * jnp.sum(g * offset, axis=-1)
     off_ok = jnp.max(jnp.abs(offset), axis=-1) < 1.5

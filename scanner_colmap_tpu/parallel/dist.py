@@ -1,0 +1,157 @@
+"""Multi-host execution over DCN: process-group init + host-level work
+partitioning for the cluster-parallel mapping stage.
+
+Replaces the Scanner master/worker pool (gRPC, external — SURVEY §2.2
+job scheduler) with the jax.distributed model: every host runs the same
+program; cluster work units (key-image clusters, SURVEY §2.2 parallelism #3)
+are assigned by host index; results rendezvous through the shared artifact
+store (each host writes its own rows; host 0 merges), so no bespoke RPC
+layer exists — the same crash-safe stage-table contract carries the
+cross-host traffic.
+
+Single-process fallback: with no coordinator configured this degrades to
+one host owning all clusters, so the same code path serves laptop runs,
+one TPU VM, and an N-host pod slice.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List, Optional, Sequence, TypeVar
+
+log = logging.getLogger(__name__)
+
+T = TypeVar("T")
+
+
+def maybe_init_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed when a coordinator is configured.
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
+    args are None. Returns True if multi-process mode is active.
+    """
+    import jax
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return False
+    num_processes = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator, num_processes, process_id)
+    log.info("jax.distributed: process %d/%d via %s",
+             process_id, num_processes, coordinator)
+    return True
+
+
+def process_info():
+    """(process_id, num_processes) — (0, 1) when not distributed."""
+    import jax
+
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def partition_round_robin(items: Sequence[T], process_id: Optional[int] = None,
+                          num_processes: Optional[int] = None) -> List[T]:
+    """This host's share of a work list (deterministic round-robin, so
+    adjacent clusters land on different hosts and merge trees stay local)."""
+    pid, n = process_info()
+    if process_id is not None:
+        pid = process_id
+    if num_processes is not None:
+        n = num_processes
+    return [x for i, x in enumerate(items) if i % n == pid]
+
+
+def barrier_via_store(store, name: str, timeout_s: float = 3600.0,
+                      poll_s: float = 2.0):
+    """Cross-host rendezvous through the artifact store: every host writes a
+    ready marker table row; all hosts wait until every marker exists.
+
+    DCN-free environments (shared filesystem only) still synchronize
+    correctly; with jax.distributed active the same rendezvous works on any
+    shared store path.
+    """
+    import numpy as np
+
+    pid, n = process_info()
+    store.write_table(f"{name}_ready_{pid}", {"pid": np.asarray([pid])},
+                      meta={"barrier": name})
+    t0 = time.time()
+    while True:
+        done = all(store.has_table(f"{name}_ready_{i}") for i in range(n))
+        if done:
+            return
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(f"barrier {name}: waited {timeout_s}s")
+        time.sleep(poll_s)
+
+
+def run_mapping_distributed(cfg, store=None):
+    """Multi-host variant of the mapping stage: each host reconstructs its
+    round-robin share of clusters and writes `mapping_shard_<pid>`; host 0
+    concatenates shards into the canonical `mapping` table after a barrier.
+    """
+    import numpy as np
+
+    from scanner_colmap_tpu.engine.cluster import make_clusters, subgraph
+    from scanner_colmap_tpu.engine.incremental import IncrementalMapper
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils import colmap_io
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = store or ArtifactStore(cfg.store_path)
+    pid, n = process_info()
+    image_ids, kp, desc, cameras = stages._load_extraction(store)
+    graph, two_view = stages._build_graph(store, kp)
+    clusters = make_clusters(sorted(kp.keys()), cfg.mapper.cluster_size,
+                             cfg.mapper.cluster_overlap)
+    mine = partition_round_robin(list(enumerate(clusters)))
+
+    rows = {"cluster_id": [], "cameras": [], "images": [], "points3d": []}
+    for ci, members in mine:
+        g, tv = subgraph(graph, two_view, members)
+        mapper = IncrementalMapper({i: kp[i] for i in members},
+                                   {i: cameras[i] for i in members},
+                                   g, tv, cfg.mapper, seed=ci)
+        rec = mapper.reconstruct()
+        if rec.num_registered >= 2:
+            cb, ib, pb = colmap_io.model_to_bytes(rec)
+            rows["cluster_id"].append(ci)
+            rows["cameras"].append(cb)
+            rows["images"].append(ib)
+            rows["points3d"].append(pb)
+        log.info("host %d/%d: cluster %d -> %d images", pid, n, ci,
+                 rec.num_registered)
+    store.write_table(f"mapping_shard_{pid}", {
+        "cluster_id": np.asarray(rows["cluster_id"], np.int64),
+        "cameras": rows["cameras"],
+        "images": rows["images"],
+        "points3d": rows["points3d"],
+    }, meta={"stage": "mapping", "host": pid})
+
+    barrier_via_store(store, "mapping_done")
+    if pid == 0:
+        merged = {"cluster_id": [], "cameras": [], "images": [], "points3d": []}
+        for i in range(n):
+            t = store.read_table(f"mapping_shard_{i}")
+            merged["cluster_id"].extend(int(c) for c in t["cluster_id"])
+            merged["cameras"].extend(t["cameras"])
+            merged["images"].extend(t["images"])
+            merged["points3d"].extend(t["points3d"])
+        order = np.argsort(merged["cluster_id"])
+        store.write_table("mapping", {
+            "cluster_id": np.asarray(merged["cluster_id"], np.int64)[order],
+            "cameras": [merged["cameras"][i] for i in order],
+            "images": [merged["images"][i] for i in order],
+            "points3d": [merged["points3d"][i] for i in order],
+        }, meta={"stage": "mapping", "num_hosts": n})
+    barrier_via_store(store, "mapping_merged")
+    return len(mine)

@@ -55,6 +55,67 @@ def _round_up(n, m):
 
 
 # ---------------------------------------------------------------------------
+# jitted stage kernels, cached across stage invocations (an inline
+# jax.jit(lambda ...) would recompile on every call)
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
+                      init_sigma, peak_threshold, edge_threshold, upright):
+    def run(imgs, vhws):
+        return jax.lax.map(
+            lambda args: sift_ops.extract(
+                args[0], args[1],
+                max_features=max_num_features, num_octaves=num_octaves,
+                num_scales=scales_per_octave, init_sigma=init_sigma,
+                peak_threshold=peak_threshold, edge_threshold=edge_threshold,
+                upright=upright),
+            (imgs, vhws))
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _match_all_fn(max_ratio, max_distance, cross_check):
+    def run(d, v, ai, bi):
+        def per_pair(args):
+            a, b = args
+            return matching_ops.match_descriptors(
+                d[a], d[b], v[a], v[b], max_ratio=max_ratio,
+                max_distance=max_distance, cross_check=cross_check)
+        return jax.lax.map(per_pair, (ai, bi))
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials):
+    def run(keys, uv1, uv2, vm, K1, K2):
+        def per_pair(args):
+            k, u1, u2, v, k1m, k2m = args
+            return tv_ops.estimate_two_view_geometry(
+                k, u1, u2, v, k1m, k2m, calibrated=True,
+                max_error=max_error, min_num_inliers=min_num_inliers,
+                min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
+        return jax.lax.map(per_pair, (keys, uv1, uv2, vm, K1, K2))
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
+    def run(d, v, ar, br, uva, uvb, fs):
+        def per_pair(args):
+            a, b, ua, ub, f = args
+            return matching_ops.match_descriptors_guided(
+                d[a], d[b], v[a], v[b], ua, ub, f,
+                max_epipolar_error=max_epipolar_error,
+                max_distance=max_distance, cross_check=cross_check)
+        return jax.lax.map(per_pair, (ar, br, uva, uvb, fs))
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
 # stage 1: prepare_images
 # ---------------------------------------------------------------------------
 
@@ -155,14 +216,9 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     s = cfg.sift
     canvas = (_round_up(cfg.sift.max_image_size, 128),) * 2
 
-    extract_batch = jax.jit(lambda imgs, vhws: jax.lax.map(
-        lambda args: sift_ops.extract(
-            args[0], args[1],
-            max_features=s.max_num_features, num_octaves=s.num_octaves,
-            num_scales=s.scales_per_octave, init_sigma=s.init_sigma,
-            peak_threshold=s.peak_threshold, edge_threshold=s.edge_threshold,
-            upright=s.upright),
-        (imgs, vhws)))
+    extract_batch = _extract_batch_fn(
+        s.max_num_features, s.num_octaves, s.scales_per_octave, s.init_sigma,
+        s.peak_threshold, s.edge_threshold, s.upright)
 
     t0 = time.time()
     keypoints, descriptors, cam_rows, num_feats = [], [], [], []
@@ -275,15 +331,7 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
     for n, (a, b) in enumerate(sched):
         ai[n], bi[n] = a, b
 
-    @jax.jit
-    def match_all(d, v, ai, bi):
-        def per_pair(args):
-            a, b = args
-            return matching_ops.match_descriptors(
-                d[a], d[b], v[a], v[b], max_ratio=m.max_ratio,
-                max_distance=m.max_distance, cross_check=m.cross_check)
-        return jax.lax.map(per_pair, (ai, bi))
-
+    match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check)
     idx_all, ok_all = match_all(jnp.asarray(D), jnp.asarray(V),
                                 jnp.asarray(ai), jnp.asarray(bi))
     idx_all = np.asarray(idx_all)  # (NP1, K_max)
@@ -319,18 +367,9 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             K1p[n] = _cam_K(cameras[ia])
             K2p[n] = _cam_K(cameras[ib])
         keys = jax.random.split(key, NP)
-
-        @jax.jit
-        def verify_all(keys, uv1, uv2, vm, K1, K2):
-            def per_pair(args):
-                k, u1, u2, v, k1m, k2m = args
-                return tv_ops.estimate_two_view_geometry(
-                    k, u1, u2, v, k1m, k2m, calibrated=True,
-                    max_error=m.max_error, min_num_inliers=m.min_num_inliers,
-                    min_inlier_ratio=m.min_inlier_ratio,
-                    num_trials=min(m.max_num_trials, 1024))
-            return jax.lax.map(per_pair, (keys, uv1, uv2, vm, K1, K2))
-
+        verify_all = _verify_all_fn(m.max_error, m.min_num_inliers,
+                                    m.min_inlier_ratio,
+                                    min(m.max_num_trials, 1024))
         tvg = verify_all(keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
                          jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p))
         tvg = jax.tree.map(np.asarray, tvg)
@@ -388,16 +427,7 @@ def _guided_rematch(m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists):
         uv_a[n, :len(kp[ia])] = kp[ia][:, :2]
         uv_b[n, :len(kp[ib])] = kp[ib][:, :2]
 
-    @jax.jit
-    def guided_all(d, v, ar, br, uva, uvb, fs):
-        def per_pair(args):
-            a, b, ua, ub, f = args
-            return matching_ops.match_descriptors_guided(
-                d[a], d[b], v[a], v[b], ua, ub, f,
-                max_epipolar_error=m.max_error,
-                max_distance=m.max_distance, cross_check=m.cross_check)
-        return jax.lax.map(per_pair, (ar, br, uva, uvb, fs))
-
+    guided_all = _guided_all_fn(m.max_error, m.max_distance, m.cross_check)
     idx_g, ok_g = guided_all(jnp.asarray(D), jnp.asarray(V),
                              jnp.asarray(a_rows), jnp.asarray(b_rows),
                              jnp.asarray(uv_a), jnp.asarray(uv_b),

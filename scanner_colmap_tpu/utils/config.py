@@ -58,6 +58,10 @@ class MapperConfig:
     incremental_mapping.py:57-87)."""
     cluster_size: int = 20
     cluster_overlap: int = 5
+    single_camera: bool = False         # share ONE camera across all images
+                                        # (COLMAP single_camera; conditions
+                                        # intrinsics far better when the
+                                        # collection is one physical camera)
     init_min_num_inliers: int = 50     # min TVG inliers for the initial pair
     init_min_tri_angle_deg: float = 4.0
     abs_pose_max_error: float = 12.0    # COLMAP abs_pose_max_error (px)

@@ -56,8 +56,8 @@ def make_bundle_problem(rng, M=6, P=64, T=6, noise_px=1.0, pose_noise=0.02,
         loss_scale=jnp.asarray(4.0),
         prior_log_f=jnp.full(M, np.log(focal * (1 + focal_err))),
         prior_k1=jnp.zeros(M),
-        prior_weight_f=jnp.asarray(0.0),
-        prior_weight_k=jnp.asarray(0.0),
+        prior_weight_f=jnp.zeros(M),
+        prior_weight_k=jnp.zeros(M),
     )
     return params, obs, cfg, (q_gt, t_gt, pts_gt)
 
