@@ -95,6 +95,10 @@ def main():
     from scanner_colmap_tpu.ops import ba
 
     params, obs, cfg_ba, _, _ = _synthetic_bundle(M=16, Pn=1024, T=16)
+    # warmup pays the compile; the timed pass measures steady-state solve rate
+    p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
+                                   chunk=1024, function_tolerance=0.0)
+    jax.block_until_ready(p_out.xyz)
     t0 = time.time()
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
                                    chunk=1024, function_tolerance=0.0)

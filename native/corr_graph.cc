@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -271,6 +272,69 @@ int64_t cg_new_track_candidates(CorrGraph* g, int64_t image_id,
     }
   }
   return t;
+}
+
+// Track-completion candidates over the WHOLE graph (one call replaces a
+// per-observation python scan): every unassigned keypoint (j, kj) on a
+// REGISTERED image whose correspondences reach an assigned point pid emits
+// (image_id_j, kj, pid). Emits each distinct (kp, pid) pair once; a keypoint
+// can appear with several candidate pids (the caller keeps the first that
+// fits geometrically). Returns count (clamped to cap).
+int64_t cg_complete_candidates(CorrGraph* g, int64_t* out_img,
+                               int32_t* out_kp, int64_t* out_pid,
+                               int64_t cap) {
+  int64_t n = 0;
+  for (const ImageData& im : g->images) {
+    if (!im.registered) continue;
+    for (size_t kp = 0; kp < im.corrs.size(); ++kp) {
+      if (im.point3d[kp] >= 0) continue;
+      int64_t last_pid = -1;  // corrs from one pair are grouped; cheap dedup
+      for (const Corr& c : im.corrs[kp]) {
+        int64_t pid = g->images[c.image].point3d[c.kp];
+        if (pid < 0 || pid == last_pid) continue;
+        if (n >= cap) return n;
+        out_img[n] = im.image_id;
+        out_kp[n] = static_cast<int32_t>(kp);
+        out_pid[n] = pid;
+        ++n;
+        last_pid = pid;
+      }
+    }
+  }
+  return n;
+}
+
+// Track-merge candidates: correspondence edges whose endpoints carry two
+// DIFFERENT assigned points on registered images. Emits unique unordered
+// (pid_a < pid_b) pairs. Returns count (clamped to cap).
+int64_t cg_merge_candidates(CorrGraph* g, int64_t* out_pid_a,
+                            int64_t* out_pid_b, int64_t cap) {
+  std::unordered_set<uint64_t> seen;
+  int64_t n = 0;
+  for (size_t ii = 0; ii < g->images.size(); ++ii) {
+    const ImageData& im = g->images[ii];
+    if (!im.registered) continue;
+    for (size_t kp = 0; kp < im.corrs.size(); ++kp) {
+      int64_t pa = im.point3d[kp];
+      if (pa < 0) continue;
+      for (const Corr& c : im.corrs[kp]) {
+        if (static_cast<size_t>(c.image) < ii) continue;  // each edge once
+        const ImageData& other = g->images[c.image];
+        if (!other.registered) continue;
+        int64_t pb = other.point3d[c.kp];
+        if (pb < 0 || pb == pa) continue;
+        int64_t lo = pa < pb ? pa : pb, hi = pa < pb ? pb : pa;
+        uint64_t key = (static_cast<uint64_t>(lo) << 32) ^
+                       static_cast<uint64_t>(hi);
+        if (!seen.insert(key).second) continue;
+        if (n >= cap) return n;
+        out_pid_a[n] = lo;
+        out_pid_b[n] = hi;
+        ++n;
+      }
+    }
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -126,6 +126,73 @@ def pack_bundle(
     return params, obs, cfg, meta
 
 
+def pack_bundle_flat(
+    rec: Reconstruction,
+    image_ids: Sequence[int],
+    max_track: int = 16,
+    min_images: int = 16,
+    min_points: int = 512,
+):
+    """Pack directly into the flat arrays of `ba.bundle_adjust_flat`:
+    (cam_in (M, 22) f32, pt_in (P, 4) f32, obs_in (P, T, 4) f32, meta).
+
+    Column layout documented on bundle_adjust_flat. pose_free defaults to
+    all-free and priors to zero-weight; the caller edits those columns.
+    Larger bucket floors than pack_bundle (min_images 16, min_points 512):
+    on backends without a persistent compile cache every distinct shape
+    costs a ~2 s remote compile, which dwarfs the padded FLOPs.
+    """
+    image_ids = [i for i in image_ids if rec.images[i].registered]
+    id_to_slot = {iid: s for s, iid in enumerate(image_ids)}
+    M = next_pow2(max(len(image_ids), 1), min_images)
+
+    point_ids = []
+    for pid, pt in rec.points3D.items():
+        n_in = sum(1 for (i, _) in pt.track if i in id_to_slot)
+        if n_in >= 2:
+            point_ids.append(pid)
+    P = next_pow2(max(len(point_ids), 1), min_points)
+
+    cam_in = np.zeros((M, ba.NUM_CAM_IN), np.float32)
+    cam_in[:, 0] = 1.0         # identity qvec
+    cam_in[:, 12:18] = 1.0     # pose_free
+    for s, iid in enumerate(image_ids):
+        im = rec.images[iid]
+        cam = rec.cameras[im.camera_id]
+        cam_in[s, 0:4] = im.qvec
+        cam_in[s, 4:7] = im.tvec
+        fx = cam.params[0]
+        log_f = np.log(max(fx, 1e-6))
+        if cam.model_id == camlib.PINHOLE:
+            log_f = np.log(max(0.5 * (cam.params[0] + cam.params[1]), 1e-6))
+            cam_in[s, 9:11] = cam.params[2:4]
+        else:
+            cam_in[s, 9:11] = cam.params[1:3]
+            if cam.model_id != camlib.SIMPLE_PINHOLE:
+                cam_in[s, 8] = cam.params[3]
+        cam_in[s, 7] = log_f
+        cam_in[s, 11] = 1.0    # cam_valid
+        cam_in[s, 18] = log_f  # prior_log_f (weight 0 unless caller sets)
+
+    pt_in = np.zeros((P, 4), np.float32)
+    obs_in = np.zeros((P, max_track, 4), np.float32)
+    for ps, pid in enumerate(point_ids):
+        pt = rec.points3D[pid]
+        pt_in[ps, 0:3] = pt.xyz
+        pt_in[ps, 3] = 1.0
+        t = 0
+        for (iid, kp) in pt.track:
+            if iid not in id_to_slot or t >= max_track:
+                continue
+            obs_in[ps, t, 0] = id_to_slot[iid]
+            obs_in[ps, t, 1:3] = rec.images[iid].xys[kp]
+            obs_in[ps, t, 3] = 1.0
+            t += 1
+
+    meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
+    return cam_in, pt_in, obs_in, meta
+
+
 def unpack_bundle(rec: Reconstruction, params: ba.BundleParams, meta: Dict,
                   update_intrinsics: bool = False):
     """Write optimized poses/points (and optionally intrinsics) back."""

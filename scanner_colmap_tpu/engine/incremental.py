@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from scanner_colmap_tpu.engine.bundle_io import next_pow2, pack_bundle, unpack_bundle
+from scanner_colmap_tpu.engine.bundle_io import (next_pow2, pack_bundle_flat,
+                                                 unpack_bundle)
 from scanner_colmap_tpu.engine.correspondence import CorrespondenceGraph
 from scanner_colmap_tpu.models import cameras as camlib
 from scanner_colmap_tpu.models import geometry as geom
@@ -102,12 +103,10 @@ class IncrementalMapper:
         cam = self.rec.cameras[self.rec.images[image_id].camera_id]
         return np.int32(cam.model_id), cam.params_padded
 
-    _image_to_cam_jit = staticmethod(jax.jit(camlib.image_to_cam))
-
     def _normalize(self, image_id, uv: np.ndarray) -> np.ndarray:
+        # host numpy: tiny per-image math where a device round-trip dominates
         mid, p = self._cam_arrays(image_id)
-        return np.asarray(self._image_to_cam_jit(
-            jnp.asarray(mid), jnp.asarray(p), jnp.asarray(uv)))
+        return camlib.np_image_to_cam(int(mid), p, uv)
 
     def _kp_norm(self, image_id) -> np.ndarray:
         """Normalized coords of ALL keypoints, cached (one device call per
@@ -214,7 +213,7 @@ class IncrementalMapper:
         xn = self._kp_norm(image_id)[kp_idx]
         x3d = np.stack([self.rec.points3D[p].xyz for p in pids])
 
-        N = next_pow2(len(corr2d3d), 64)
+        N = next_pow2(len(corr2d3d), 256)
         xn_p = np.zeros((N, 2))
         x3d_p = np.zeros((N, 3))
         valid = np.zeros(N, bool)
@@ -223,23 +222,25 @@ class IncrementalMapper:
         valid[: len(xn)] = True
 
         thr = self.cfg.abs_pose_max_error / self._focal(image_id)
-        res = pnp.pnp_ransac(
-            self._next_key(), jnp.asarray(x3d_p), jnp.asarray(xn_p),
-            jnp.asarray(valid), jnp.asarray(thr),
+        # packed upload [x3d, xn, valid] + packed download: one transfer each
+        packed_in = np.concatenate(
+            [x3d_p, xn_p, valid[:, None].astype(np.float64)], axis=1)
+        out = np.asarray(pnp.pnp_ransac_packed_cols(
+            self._next_key(), jnp.asarray(packed_in), jnp.asarray(thr),
             min_num_inliers=min(self.cfg.abs_pose_min_num_inliers,
                                 max(6, len(corr2d3d) // 2)),
-            min_inlier_ratio=self.cfg.abs_pose_min_inlier_ratio)
-        if not bool(res.ok):
+            min_inlier_ratio=self.cfg.abs_pose_min_inlier_ratio))
+        if out[8] < 0.5:  # ok flag
             return False
 
         im = self.rec.images[image_id]
-        im.qvec = np.asarray(res.qvec)
-        im.tvec = np.asarray(res.tvec)
+        im.qvec = out[0:4].astype(np.float64)
+        im.tvec = out[4:7].astype(np.float64)
         self._set_registered(image_id, True)
         self._num_total_reg_images += 1
 
         # attach inlier observations to their tracks
-        inl = np.asarray(res.inlier_mask)[: len(corr2d3d)]
+        inl = out[9: 9 + len(corr2d3d)] > 0.5
         for (k, pid), ok in zip(corr2d3d, inl):
             if ok and pid in self.rec.points3D and im.point3D_ids[k] < 0:
                 self.rec.points3D[pid].track.append((image_id, int(k)))
@@ -252,20 +253,38 @@ class IncrementalMapper:
     def triangulate_image(self, image_id: int) -> int:
         """Continue existing tracks + triangulate new points seen from
         image_id. Returns number of new points."""
-        im = self.rec.images[image_id]
-        if not im.registered:
+        if not self.rec.images[image_id].registered:
             return 0
+        self._continue_tracks(image_id)
+        return self._triangulate_tracks(self._new_track_candidates(image_id))
 
-        # 1. continuation: link keypoints to existing points via corrs
+    def _continue_tracks(self, image_id: int) -> None:
+        """Link unassigned keypoints of image_id to existing points reachable
+        via correspondences (batched geometric check)."""
+        im = self.rec.images[image_id]
         if self.graph.has_fast_scans:
             kps_f, pids_f = self.graph.continuations(image_id)
-            for kp_idx, pid in zip(kps_f, pids_f):
-                kp_idx, pid = int(kp_idx), int(pid)
-                if pid not in self.rec.points3D or im.point3D_ids[kp_idx] >= 0:
+            if len(kps_f) == 0:
+                return
+            pts = self.rec.points3D
+            xyz = np.zeros((len(pids_f), 3))
+            valid = np.zeros(len(pids_f), bool)
+            for i, pid in enumerate(pids_f):
+                pt = pts.get(int(pid))
+                if pt is not None and im.point3D_ids[int(kps_f[i])] < 0:
+                    xyz[i] = pt.xyz
+                    valid[i] = True
+            fits = np.zeros(len(pids_f), bool)
+            if valid.any():
+                fits[valid] = self._batch_fits(
+                    np.full(int(valid.sum()), image_id), kps_f[valid],
+                    xyz[valid])
+            for i in np.flatnonzero(fits):
+                kp_idx, pid = int(kps_f[i]), int(pids_f[i])
+                if im.point3D_ids[kp_idx] >= 0:
                     continue
-                if self._observation_fits(image_id, kp_idx, pid):
-                    self.rec.points3D[pid].track.append((image_id, kp_idx))
-                    self.rec.set_point3D_id(image_id, kp_idx, pid)
+                pts[pid].track.append((image_id, kp_idx))
+                self.rec.set_point3D_id(image_id, kp_idx, pid)
         else:
             for kp_idx in range(len(self.kp[image_id])):
                 if im.point3D_ids[kp_idx] >= 0:
@@ -281,22 +300,56 @@ class IncrementalMapper:
                         self.rec.set_point3D_id(image_id, kp_idx, pid)
                     break
 
-        # 2. new tracks: unassigned kps with >= 1 registered unassigned corr
+    def _new_track_candidates(self, image_id: int):
+        """Unassigned kps of image_id with >= 1 registered unassigned corr."""
         if self.graph.has_fast_scans:
-            tracks = self.graph.new_track_candidates(image_id)
-        else:
-            tracks = []  # list of [(img, kp), ...]
-            for kp_idx in range(len(self.kp[image_id])):
-                if im.point3D_ids[kp_idx] >= 0:
-                    continue
-                track = [(image_id, kp_idx)]
-                for (j, kj) in self.graph.correspondences(image_id, kp_idx):
-                    if (self.rec.images[j].registered
-                            and self.point3D_of(j, kj) < 0):
-                        track.append((j, kj))
-                if len(track) >= 2:
-                    tracks.append(track)
-        return self._triangulate_tracks(tracks)
+            return self.graph.new_track_candidates(image_id)
+        im = self.rec.images[image_id]
+        tracks = []  # list of [(img, kp), ...]
+        for kp_idx in range(len(self.kp[image_id])):
+            if im.point3D_ids[kp_idx] >= 0:
+                continue
+            track = [(image_id, kp_idx)]
+            for (j, kj) in self.graph.correspondences(image_id, kp_idx):
+                if (self.rec.images[j].registered
+                        and self.point3D_of(j, kj) < 0):
+                    track.append((j, kj))
+            if len(track) >= 2:
+                tracks.append(track)
+        return tracks
+
+    def _batch_fits(self, iids, kps, xyz, thr_factor: float = 1.0) -> np.ndarray:
+        """Vectorized `_observation_fits` over parallel arrays: does point
+        xyz[i] reproject within threshold at keypoint kps[i] of image
+        iids[i]? One batched rotate/project for all candidates."""
+        iids = np.asarray(iids, np.int64)
+        kps = np.asarray(kps, np.int64)
+        xyz = np.asarray(xyz, np.float64)
+        if len(iids) == 0:
+            return np.zeros(0, bool)
+        img_list = list(dict.fromkeys(int(i) for i in iids))
+        idx = {iid: s for s, iid in enumerate(img_list)}
+        s_arr = np.fromiter((idx[int(i)] for i in iids), np.int64, len(iids))
+        q = np.stack([self.rec.images[i].qvec for i in img_list])
+        t = np.stack([self.rec.images[i].tvec for i in img_list])
+        mid = np.asarray([self.rec.cameras[self.rec.images[i].camera_id].model_id
+                          for i in img_list])
+        prm = np.stack([self.rec.cameras[self.rec.images[i].camera_id].params_padded
+                        for i in img_list])
+        fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
+        x_cam = geom.np_quat_rotate(q[s_arr], xyz) + t[s_arr]
+        z = x_cam[:, 2]
+        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        xy = x_cam[:, :2] / zs[:, None]
+        d = camlib.np_distort(k1[s_arr], k2[s_arr], p1[s_arr], p2[s_arr], xy)
+        u = fx[s_arr] * d[..., 0] + cx[s_arr]
+        v = fy[s_arr] * d[..., 1] + cy[s_arr]
+        uv_obs = np.empty((len(iids), 2))
+        for s, iid in enumerate(img_list):
+            sel = s_arr == s
+            uv_obs[sel] = self.kp[iid][kps[sel]]
+        err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+        return (z > 0) & (err < self.cfg.filter_max_reproj_error * thr_factor)
 
     def _observation_fits(self, image_id, kp_idx, pid,
                           thr_factor: float = 1.0) -> bool:
@@ -315,34 +368,33 @@ class IncrementalMapper:
         if not tracks:
             return 0
         T = 8
-        B = next_pow2(len(tracks), 64)
-        qv = np.zeros((B, T, 4))
-        qv[..., 0] = 1.0
-        tv = np.zeros((B, T, 3))
-        xn = np.zeros((B, T, 2))
-        mask = np.zeros((B, T), bool)
+        # generous bucket floor: each distinct shape costs a ~2 s remote
+        # compile on cacheless backends, far more than the padded FLOPs
+        B = next_pow2(len(tracks), 512)
+        # one packed upload [qvec, tvec, xn, mask] and one packed download
+        data = np.zeros((B, T, 10))
+        data[..., 0] = 1.0
         focals = []
         for b, track in enumerate(tracks):
             f_sum = 0.0
             for t, (iid, kp) in enumerate(track[:T]):
                 im = self.rec.images[iid]
-                qv[b, t] = im.qvec
-                tv[b, t] = im.tvec
-                xn[b, t] = self._kp_norm(iid)[kp]
-                mask[b, t] = True
+                data[b, t, 0:4] = im.qvec
+                data[b, t, 4:7] = im.tvec
+                data[b, t, 7:9] = self._kp_norm(iid)[kp]
+                data[b, t, 9] = 1.0
                 f_sum += self._focal(iid)
             focals.append(f_sum / min(len(track), T))
         thr_n = self.cfg.filter_max_reproj_error / np.asarray(focals)
         thr_pad = np.full(B, 1e-3)
         thr_pad[: len(tracks)] = thr_n
 
-        xyz, ok, view_ok = triangulate.triangulate_tracks(
-            jnp.asarray(qv), jnp.asarray(tv), jnp.asarray(xn),
-            jnp.asarray(mask), jnp.asarray(thr_pad),
-            min_tri_angle=math.radians(self.cfg.min_tri_angle_deg))
-        xyz = np.asarray(xyz)
-        ok = np.asarray(ok)
-        view_ok = np.asarray(view_ok)
+        out = np.asarray(triangulate.triangulate_tracks_packed(
+            jnp.asarray(data), jnp.asarray(thr_pad),
+            jnp.asarray(math.radians(self.cfg.min_tri_angle_deg))))
+        xyz = out[:, 0:3]
+        ok = out[:, 3] > 0.5
+        view_ok = out[:, 4:] > 0.5
 
         n_new = 0
         for b, track in enumerate(tracks):
@@ -362,6 +414,32 @@ class IncrementalMapper:
     # track completion + merging (COLMAP CompleteAndMergeTracks, ref :141-178)
     # ------------------------------------------------------------------
     def complete_tracks(self) -> int:
+        if self.graph.has_fast_scans:
+            # one native scan for all candidates + one batched fit check
+            iids, kps, pids = self.graph.complete_candidates()
+            if len(iids) == 0:
+                return 0
+            pts = self.rec.points3D
+            xyz = np.zeros((len(pids), 3))
+            valid = np.zeros(len(pids), bool)
+            for i, pid in enumerate(pids):
+                pt = pts.get(int(pid))
+                if pt is not None:
+                    xyz[i] = pt.xyz
+                    valid[i] = True
+            fits = np.zeros(len(pids), bool)
+            if valid.any():
+                fits[valid] = self._batch_fits(iids[valid], kps[valid],
+                                               xyz[valid])
+            n = 0
+            for i in np.flatnonzero(fits):
+                iid, kp, pid = int(iids[i]), int(kps[i]), int(pids[i])
+                if self.rec.images[iid].point3D_ids[kp] >= 0:
+                    continue  # a previous candidate won this keypoint
+                pts[pid].track.append((iid, kp))
+                self.rec.set_point3D_id(iid, kp, pid)
+                n += 1
+            return n
         n = 0
         for pid in list(self.rec.points3D.keys()):
             pt = self.rec.points3D.get(pid)
@@ -381,6 +459,8 @@ class IncrementalMapper:
     def merge_tracks(self) -> int:
         """Merge pairs of 3D points linked by a correspondence whose merged
         position fits both tracks."""
+        if self.graph.has_fast_scans:
+            return self._merge_tracks_fast()
         n = 0
         for pid in list(self.rec.points3D.keys()):
             pt = self.rec.points3D.get(pid)
@@ -421,33 +501,105 @@ class IncrementalMapper:
             n += 1
         return n
 
+    def _merge_tracks_fast(self) -> int:
+        """Native candidate scan + ONE batched fit check for all candidate
+        merges, then sequential conflict-free application."""
+        pa, pb = self.graph.merge_candidates()
+        if len(pa) == 0:
+            return 0
+        pts = self.rec.points3D
+        # gather candidate merged positions + all observations to check
+        cand = []           # (pid_keep, pid_gone, merged_xyz)
+        f_iids, f_kps, f_xyz, f_cand = [], [], [], []
+        for a, b in zip(pa, pb):
+            a, b = int(a), int(b)
+            pt1, pt2 = pts.get(a), pts.get(b)
+            if pt1 is None or pt2 is None:
+                continue
+            w1, w2 = len(pt1.track), len(pt2.track)
+            merged = (pt1.xyz * w1 + pt2.xyz * w2) / (w1 + w2)
+            ci = len(cand)
+            cand.append((a, b, merged))
+            for (i, k) in pt1.track + pt2.track:
+                if self.rec.images[i].registered:
+                    f_iids.append(i)
+                    f_kps.append(k)
+                    f_xyz.append(merged)
+                    f_cand.append(ci)
+        if not cand:
+            return 0
+        fits = self._batch_fits(f_iids, f_kps, np.asarray(f_xyz))
+        f_cand = np.asarray(f_cand)
+        ok_per_cand = np.ones(len(cand), bool)
+        np.logical_and.at(ok_per_cand, f_cand, fits)
+
+        n = 0
+        for ci in np.flatnonzero(ok_per_cand):
+            a, b, merged = cand[ci]
+            pt1, pt2 = pts.get(a), pts.get(b)
+            if pt1 is None or pt2 is None:
+                continue  # consumed by an earlier merge this round
+            for (i, k) in pt2.track:
+                self.rec.set_point3D_id(i, int(k), a)
+            pt1.track = pt1.track + pt2.track
+            pt1.xyz = merged
+            del pts[b]
+            n += 1
+        return n
+
     # ------------------------------------------------------------------
     # filtering (COLMAP FilterPoints/FilterImages, ref :141-178)
     # ------------------------------------------------------------------
     def filter_points(self) -> int:
+        """Reprojection-error + max-triangulation-angle filtering, fully
+        vectorized over the flattened observation arrays (the per-point loop
+        dominated mapping wall-clock before)."""
+        if not self.rec.points3D:
+            return 0
         self.rec.compute_reprojection_errors()
         min_ang = math.radians(self.cfg.min_tri_angle_deg)
+
+        pids, xyz, obs_pt, obs_img, _, img_list = self.rec.flat_observations()
+        Np = len(pids)
+        err = np.fromiter((self.rec.points3D[p].error for p in pids),
+                          np.float64, Np)
+        bad = (err > self.cfg.filter_max_reproj_error) | (err < 0)
+
+        # registered observing-camera centers per point (padded ragged)
+        reg = np.asarray([self.rec.images[i].registered for i in img_list])
+        if len(obs_pt):
+            keep = reg[obs_img]
+            op, oi = obs_pt[keep], obs_img[keep]
+        else:
+            op = oi = np.zeros(0, np.int64)
+        counts = np.bincount(op, minlength=Np)
+        bad |= counts < 2
+
+        if len(op) and counts.max() >= 2:
+            q = np.stack([self.rec.images[i].qvec for i in img_list])
+            t = np.stack([self.rec.images[i].tvec for i in img_list])
+            centers = geom.np_projection_center(q, t)
+            order = np.argsort(op, kind="stable")
+            op_s, oi_s = op[order], oi[order]
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            pos = np.arange(len(op_s)) - offsets[op_s]
+            T = int(counts.max())
+            rays = np.zeros((Np, T, 3))
+            mask = np.zeros((Np, T), bool)
+            rays[op_s, pos] = centers[oi_s] - xyz[op_s]
+            mask[op_s, pos] = True
+            rn = rays / np.maximum(
+                np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+            cosang = np.einsum("pti,psi->pts", rn, rn)
+            pair = mask[:, :, None] & mask[:, None, :]
+            ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+            max_ang = np.max(np.where(pair, ang, 0.0), axis=(1, 2))
+            bad |= max_ang < min_ang
+
         removed = 0
-        for pid in list(self.rec.points3D.keys()):
-            pt = self.rec.points3D[pid]
-            if pt.error > self.cfg.filter_max_reproj_error or pt.error < 0:
-                self.rec.remove_point3D(pid)
-                removed += 1
-                continue
-            # max pairwise triangulation angle test
-            centers = [self.rec.images[i].projection_center()
-                       for (i, _) in pt.track if self.rec.images[i].registered]
-            if len(centers) < 2:
-                self.rec.remove_point3D(pid)
-                removed += 1
-                continue
-            c = np.stack(centers)
-            angs = geom.np_triangulation_angle(c[:, None, :], c[None, :, :],
-                                               pt.xyz)
-            max_ang = float(np.max(angs))
-            if max_ang < min_ang:
-                self.rec.remove_point3D(pid)
-                removed += 1
+        for i in np.flatnonzero(bad):
+            self.rec.remove_point3D(int(pids[i]))
+            removed += 1
         return removed
 
     def filter_images(self) -> int:
@@ -466,50 +618,54 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     def _run_ba(self, image_ids, max_iterations, refine_intrinsics=True,
                 fix_all_poses_outside=None):
-        params, obs, cfg, meta = pack_bundle(self.rec, image_ids)
+        cam_in, pt_in, obs_in, meta = pack_bundle_flat(self.rec, image_ids)
         if not meta["point_ids"] or len(meta["image_ids"]) < 2:
             return None
-        Mv = len(meta["image_ids"])
-        fixed_full = [0]
-        fixed_t0 = [1] if Mv > 2 else []
-        if Mv == 2:
-            fixed_t0 = [1]
-        pose_free = np.asarray(ba.make_pose_free(
-            params.qvec.shape[0], fixed_full=fixed_full, fixed_tvec0=fixed_t0))
+        # gauge: fully fix slot 0, fix one translation comp of slot 1
+        cam_in[0, 12:18] = 0.0
+        cam_in[1, 15] = 0.0
         if fix_all_poses_outside is not None:
             inside = set(fix_all_poses_outside)
             for s, iid in enumerate(meta["image_ids"]):
                 if iid not in inside:
-                    pose_free[s] = 0.0
+                    cam_in[s, 12:18] = 0.0
         # COLMAP refines focal when no prior focal; distortion always
         any_prior = all(self.rec.cameras[self.rec.images[i].camera_id].prior_focal
                         for i in meta["image_ids"])
-        prior_log_f = np.asarray(cfg.prior_log_f).copy()
         # per-slot prior weight = weight of the PHYSICAL camera divided by
         # its group size (shared-camera slots sum to one camera's prior)
         group_size = {}
         for iid in meta["image_ids"]:
             cid = self.rec.images[iid].camera_id
             group_size[cid] = group_size.get(cid, 0) + 1
-        wf = np.zeros(prior_log_f.shape[0])
-        wk = np.zeros(prior_log_f.shape[0])
         for s, iid in enumerate(meta["image_ids"]):
-            prior_log_f[s] = self._init_log_f[iid]
+            cam_in[s, 18] = self._init_log_f[iid]
             g = group_size[self.rec.images[iid].camera_id]
-            wf[s] = self.cfg.intr_prior_weight_f / g
-            wk[s] = self.cfg.intr_prior_weight_k / g
-        cfg = cfg._replace(
-            pose_free=jnp.asarray(pose_free),
-            refine_focal=jnp.asarray(bool(refine_intrinsics and not any_prior)),
-            refine_distortion=jnp.asarray(bool(refine_intrinsics)),
-            loss_scale=jnp.asarray(float(self.cfg.filter_max_reproj_error)),
-            prior_log_f=jnp.asarray(prior_log_f),
-            prior_weight_f=jnp.asarray(wf),
-            prior_weight_k=jnp.asarray(wk),
-        )
-        p_out, info = ba.bundle_adjust(
-            params, obs, cfg, max_iterations=max_iterations,
-            chunk=min(1024, params.xyz.shape[0]))
+            cam_in[s, 20] = self.cfg.intr_prior_weight_f / g
+            cam_in[s, 21] = self.cfg.intr_prior_weight_k / g
+        scal_in = np.asarray([
+            float(refine_intrinsics and not any_prior),
+            float(bool(refine_intrinsics)),
+            float(self.cfg.filter_max_reproj_error)], np.float32)
+
+        # bucket the iteration cap (static trip count -> one compile per
+        # bucket; convergence masking makes extra trips no-ops, but they
+        # still burn device time, so buckets stay close to the request)
+        iters = next(b for b in (32, 64, 128) if max_iterations <= b) \
+            if max_iterations <= 128 else 128
+        P = pt_in.shape[0]
+        out = np.asarray(ba.bundle_adjust_flat(
+            cam_in, pt_in, obs_in, scal_in,
+            max_iterations=iters, chunk=min(1024, P)))
+        M = cam_in.shape[0]
+        cam = out[: M * 9].reshape(M, 9).astype(np.float64)
+        xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)
+        stats = out[M * 9 + P * 3:]
+        p_out = ba.BundleParams(qvec=cam[:, 0:4], tvec=cam[:, 4:7],
+                                log_f=cam[:, 7], k1=cam[:, 8], xyz=xyz)
+        info = {"initial_cost": stats[0], "final_cost": stats[1],
+                "iterations": stats[2], "mean_reproj_px": stats[3],
+                "num_obs": stats[4]}
         unpack_bundle(self.rec, p_out, meta, update_intrinsics=refine_intrinsics)
         if refine_intrinsics:
             # normalized-keypoint cache depends on intrinsics
@@ -578,9 +734,15 @@ class IncrementalMapper:
 
     def retriangulate(self):
         """Re-create tracks for under-reconstructed pairs (cheap version of
-        COLMAP's Retriangulate): try new tracks from every registered image."""
+        COLMAP's Retriangulate): continue + new tracks from every registered
+        image, with ONE batched triangulation device call for all of them
+        (duplicate candidates anchored at both endpoints lose their second
+        copy to the double-assignment guard in _triangulate_tracks)."""
+        tracks = []
         for iid in self.rec.registered_image_ids:
-            self.triangulate_image(iid)
+            self._continue_tracks(iid)
+            tracks.extend(self._new_track_candidates(iid))
+        self._triangulate_tracks(tracks)
 
     def _check_global_ba_trigger(self) -> bool:
         """Growth-ratio/frequency triggers (ref :339-350)."""

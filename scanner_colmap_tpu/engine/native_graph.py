@@ -82,6 +82,13 @@ def load_native():
         c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
         c.POINTER(c.c_int32), c.c_int64, c.c_int64]
     lib.cg_new_track_candidates.restype = c.c_int64
+    lib.cg_complete_candidates.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64), c.c_int64]
+    lib.cg_complete_candidates.restype = c.c_int64
+    lib.cg_merge_candidates.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int64]
+    lib.cg_merge_candidates.restype = c.c_int64
     _LIB = lib
     return lib
 
@@ -189,6 +196,27 @@ class NativeCorrespondenceGraph:
         n = self._lib.cg_continuations(self._g, image_id, _i32p(out_kp),
                                        _i64p(out_pid), cap)
         return out_kp[:n].copy(), out_pid[:n].copy()
+
+    def complete_candidates(self, cap: int = 1 << 18):
+        """All (image_id, kp_idx, pid) track-completion candidates across the
+        graph: unassigned keypoints on registered images reachable from an
+        assigned point. One native scan replaces per-observation queries."""
+        out_img = np.empty(cap, np.int64)
+        out_kp = np.empty(cap, np.int32)
+        out_pid = np.empty(cap, np.int64)
+        n = self._lib.cg_complete_candidates(self._g, _i64p(out_img),
+                                             _i32p(out_kp), _i64p(out_pid),
+                                             cap)
+        return out_img[:n].copy(), out_kp[:n].copy(), out_pid[:n].copy()
+
+    def merge_candidates(self, cap: int = 1 << 17):
+        """Unique (pid_a < pid_b) candidate merge pairs linked by a
+        correspondence between registered images."""
+        out_a = np.empty(cap, np.int64)
+        out_b = np.empty(cap, np.int64)
+        n = self._lib.cg_merge_candidates(self._g, _i64p(out_a), _i64p(out_b),
+                                          cap)
+        return out_a[:n].copy(), out_b[:n].copy()
 
     def new_track_candidates(self, image_id: int, max_tracks: int = 1 << 14,
                              max_elems: int = 1 << 17):

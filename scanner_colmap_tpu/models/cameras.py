@@ -141,6 +141,63 @@ def mean_focal(model_id: jax.Array, params: jax.Array) -> jax.Array:
     return 0.5 * (fx + fy)
 
 
+def np_canonical_intrinsics(model_id, params):
+    """Vectorized numpy canonicalization to (fx, fy, cx, cy, k1, k2, p1, p2).
+
+    model_id: (...,) int array; params: (..., MAX_CAM_PARAMS) padded rows.
+    Host control-plane mirror of `canonical_intrinsics` (no jax dispatch).
+    """
+    import numpy as np
+
+    p = np.asarray(params, np.float64)
+    m = np.asarray(model_id)
+    single_f = (m == SIMPLE_PINHOLE) | (m == SIMPLE_RADIAL) | (m == RADIAL)
+    is_sr = m == SIMPLE_RADIAL
+    is_ra = m == RADIAL
+    is_cv = m == OPENCV
+    fx = p[..., 0]
+    fy = np.where(single_f, p[..., 0], p[..., 1])
+    cx = np.where(single_f, p[..., 1], p[..., 2])
+    cy = np.where(single_f, p[..., 2], p[..., 3])
+    k1 = np.where(is_sr | is_ra, p[..., 3], np.where(is_cv, p[..., 4], 0.0))
+    k2 = np.where(is_ra, p[..., 4], np.where(is_cv, p[..., 5], 0.0))
+    p1 = np.where(is_cv, p[..., 6], 0.0)
+    p2 = np.where(is_cv, p[..., 7], 0.0)
+    return fx, fy, cx, cy, k1, k2, p1, p2
+
+
+def np_distort(k1, k2, p1, p2, xy):
+    """Numpy radial+tangential distortion on normalized coords (..., 2)."""
+    import numpy as np
+
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * k2)
+    dx = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.stack([dx, dy], axis=-1)
+
+
+def np_image_to_cam(model_id, params, uv, num_iters: int = 10):
+    """Numpy pixel -> normalized ray coords; fixed-point undistortion.
+
+    Host control-plane mirror of `image_to_cam`: the engine normalizes
+    per-image keypoint sets in inner loops where a device round-trip
+    (~30 ms on tunneled backends) would dominate.
+    """
+    import numpy as np
+
+    fx, fy, cx, cy, k1, k2, p1, p2 = np_canonical_intrinsics(model_id, params)
+    uv = np.asarray(uv, np.float64)
+    x = (uv[..., 0] - cx) / fx
+    y = (uv[..., 1] - cy) / fy
+    xy = np.stack([x, y], axis=-1)
+    est = xy
+    for _ in range(num_iters):
+        est = est + (xy - np_distort(k1, k2, p1, p2, est))
+    return est
+
+
 def np_cam_to_image(model_id: int, params, x_cam):
     """Numpy projection for host control-plane loops (engine filtering):
     same canonical model as cam_to_image, no jax dispatch."""

@@ -150,21 +150,77 @@ class Reconstruction:
         errs = [p.error for p in self.points3D.values() if p.error >= 0]
         return float(np.mean(errs)) if errs else -1.0
 
+    def flat_observations(self):
+        """Flatten all tracks into parallel index arrays for batched math.
+
+        Returns (pids (Np,), xyz (Np,3), obs_pt (No,), obs_img (No,),
+        obs_kp (No,), img_list) where obs_img indexes into the compact
+        img_list and obs_pt into pids.
+        """
+        pts = self.points3D
+        pids = np.fromiter(pts.keys(), np.int64, len(pts))
+        xyz = np.empty((len(pids), 3))
+        obs_pt, obs_img, obs_kp = [], [], []
+        img_index: Dict[int, int] = {}
+        img_list: List[int] = []
+        for i, pid in enumerate(pids):
+            pt = pts[pid]
+            xyz[i] = pt.xyz
+            for (iid, kp) in pt.track:
+                s = img_index.get(iid)
+                if s is None:
+                    s = len(img_list)
+                    img_index[iid] = s
+                    img_list.append(iid)
+                obs_pt.append(i)
+                obs_img.append(s)
+                obs_kp.append(kp)
+        return (pids, xyz, np.asarray(obs_pt, np.int64),
+                np.asarray(obs_img, np.int64), np.asarray(obs_kp, np.int64),
+                img_list)
+
     def compute_reprojection_errors(self) -> None:
         """Recompute per-point mean reprojection error from current geometry.
-        Host-side numpy (called in engine inner loops — no jax dispatches)."""
-        for pid, pt in self.points3D.items():
-            errs = []
-            for image_id, p2d_idx in pt.track:
-                im = self.images[image_id]
-                cam = self.cameras[im.camera_id]
-                x_cam = geom.np_pose_transform(im.qvec, im.tvec, pt.xyz)
-                if x_cam[2] <= 0:
-                    errs.append(np.inf)
-                    continue
-                uv = camlib.np_cam_to_image(cam.model_id, cam.params, x_cam)
-                errs.append(float(np.linalg.norm(uv - im.xys[p2d_idx])))
-            pt.error = float(np.mean(errs)) if errs else -1.0
+
+        Fully vectorized host numpy over the flattened observation arrays —
+        one batched rotate/project for ALL observations (the per-track loop
+        version dominated mapping wall-clock)."""
+        if not self.points3D:
+            return
+        pids, xyz, obs_pt, obs_img, obs_kp, img_list = self.flat_observations()
+        if len(obs_pt) == 0:
+            for pid in pids:
+                self.points3D[pid].error = -1.0
+            return
+        q = np.stack([self.images[i].qvec for i in img_list])
+        t = np.stack([self.images[i].tvec for i in img_list])
+        mid = np.asarray([self.cameras[self.images[i].camera_id].model_id
+                          for i in img_list])
+        prm = np.stack([self.cameras[self.images[i].camera_id].params_padded
+                        for i in img_list])
+        fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
+
+        x_cam = geom.np_quat_rotate(q[obs_img], xyz[obs_pt]) + t[obs_img]
+        z = x_cam[..., 2]
+        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        xy = x_cam[..., :2] / zs[..., None]
+        d = camlib.np_distort(k1[obs_img], k2[obs_img], p1[obs_img],
+                              p2[obs_img], xy)
+        u = fx[obs_img] * d[..., 0] + cx[obs_img]
+        v = fy[obs_img] * d[..., 1] + cy[obs_img]
+
+        uv_obs = np.empty((len(obs_pt), 2))
+        for s, iid in enumerate(img_list):
+            sel = obs_img == s
+            uv_obs[sel] = self.images[iid].xys[obs_kp[sel]]
+        err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+        err = np.where(z > 0, err, np.inf)
+
+        counts = np.bincount(obs_pt, minlength=len(pids))
+        sums = np.bincount(obs_pt, weights=err, minlength=len(pids))
+        mean = np.where(counts > 0, sums / np.maximum(counts, 1), -1.0)
+        for i, pid in enumerate(pids):
+            self.points3D[pid].error = float(mean[i])
 
     def transform(self, scale: float, qvec: np.ndarray, tvec: np.ndarray):
         """Apply Sim(3) to the whole model in-place (new = s R old + t)."""

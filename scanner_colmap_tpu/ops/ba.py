@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import geometry as geom
 from scanner_colmap_tpu.ops.linalg3 import inv33 as _inv33
+from scanner_colmap_tpu.utils.jit_cache import persistent_jit
 
 
 class BundleParams(NamedTuple):
@@ -74,9 +75,10 @@ class BundleConfig(NamedTuple):
     prior_weight_k: jax.Array    # (M,)  divide the physical camera's prior)
 
 
-def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()) -> jax.Array:
+def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()):
     """Standard gauge mask: fully fix images in `fixed_full`, fix the x
-    translation of images in `fixed_tvec0` (COLMAP's 7-dof gauge)."""
+    translation of images in `fixed_tvec0` (COLMAP's 7-dof gauge).
+    Returns host numpy (callers pass it into jitted solves)."""
     import numpy as np
 
     m = np.ones((M, 6), np.float32)
@@ -84,7 +86,7 @@ def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()) -> jax.Array:
         m[i] = 0.0
     for i in fixed_tvec0:
         m[i, 3] = 0.0
-    return jnp.asarray(m)
+    return m
 
 
 NUM_CAM_PARAMS = 8  # aa(3) + t(3) + log_f(1) + k1(1)
@@ -371,3 +373,79 @@ def bundle_adjust(
     info = {"initial_cost": cost0, "final_cost": cost_f,
             "iterations": it, "mean_reproj_px": mean_px, "num_obs": n_obs}
     return p_f, info
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "chunk",
+                                             "axis_name"))
+def bundle_adjust_packed(
+    params: BundleParams,
+    obs: BundleObs,
+    cfg: BundleConfig,
+    max_iterations: int = 25,
+    chunk: int = 1024,
+    initial_lambda: float = 1e-4,
+    function_tolerance: float = 1e-6,
+    axis_name: str | None = None,
+):
+    """`bundle_adjust` with results packed into 3 arrays — (cam (M, 9),
+    xyz (P, 3), stats (5,)) — so host engines on high-latency tunneled
+    backends pay 3 device->host transfers instead of ~10.
+
+    cam rows are [qvec(4), tvec(3), log_f(1), k1(1)]; stats is
+    [initial_cost, final_cost, iterations, mean_reproj_px, num_obs].
+    """
+    p, info = bundle_adjust(params, obs, cfg, max_iterations=max_iterations,
+                            chunk=chunk, initial_lambda=initial_lambda,
+                            function_tolerance=function_tolerance,
+                            axis_name=axis_name)
+    dt = p.xyz.dtype
+    cam = jnp.concatenate([p.qvec.astype(dt), p.tvec.astype(dt),
+                           p.log_f.astype(dt)[:, None],
+                           p.k1.astype(dt)[:, None]], axis=1)
+    stats = jnp.stack([info["initial_cost"].astype(dt),
+                       info["final_cost"].astype(dt),
+                       info["iterations"].astype(dt),
+                       info["mean_reproj_px"].astype(dt),
+                       info["num_obs"].astype(dt)])
+    return cam, p.xyz, stats
+
+
+NUM_CAM_IN = 22  # qvec4 t3 logf k1 cc2 cam_valid pose_free6 plogf pk1 pwf pwk
+
+
+@persistent_jit(static_argnames=("max_iterations", "chunk"))
+def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
+                       max_iterations: int = 25, chunk: int = 1024,
+                       function_tolerance: float = 1e-6):
+    """Fully packed LM solve for host engines on high-latency tunneled
+    backends: ONE upload block + ONE download.
+
+    cam_in  (M, 22): [qvec(4), tvec(3), log_f, k1, cc(2), cam_valid,
+                      pose_free(6), prior_log_f, prior_k1,
+                      prior_weight_f, prior_weight_k]
+    pt_in   (P, 4):  [xyz(3), pt_valid]
+    obs_in  (P, T, 4): [cam_idx, u, v, valid]
+    scal_in (3,):    [refine_focal, refine_distortion, loss_scale]
+
+    Returns flat (M*9 + P*3 + 5,): cam rows [qvec, tvec, log_f, k1],
+    xyz rows, stats [initial_cost, final_cost, iterations,
+    mean_reproj_px, num_obs].
+    """
+    M = cam_in.shape[0]
+    P = pt_in.shape[0]
+    params = BundleParams(qvec=cam_in[:, 0:4], tvec=cam_in[:, 4:7],
+                          log_f=cam_in[:, 7], k1=cam_in[:, 8],
+                          xyz=pt_in[:, 0:3])
+    obs = BundleObs(cam_idx=obs_in[..., 0].astype(jnp.int32),
+                    uv=obs_in[..., 1:3], valid=obs_in[..., 3] > 0.5)
+    cfg = BundleConfig(
+        cc=cam_in[:, 9:11], cam_valid=cam_in[:, 11] > 0.5,
+        pose_free=cam_in[:, 12:18], pt_valid=pt_in[:, 3] > 0.5,
+        refine_focal=scal_in[0] > 0.5, refine_distortion=scal_in[1] > 0.5,
+        loss_scale=scal_in[2],
+        prior_log_f=cam_in[:, 18], prior_k1=cam_in[:, 19],
+        prior_weight_f=cam_in[:, 20], prior_weight_k=cam_in[:, 21])
+    cam, xyz, stats = bundle_adjust_packed(
+        params, obs, cfg, max_iterations=max_iterations, chunk=chunk,
+        function_tolerance=function_tolerance)
+    return jnp.concatenate([cam.reshape(M * 9), xyz.reshape(P * 3), stats])

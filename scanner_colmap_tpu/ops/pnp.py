@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.utils.jit_cache import persistent_jit
 
 NEG_LOGIT = -1e9
 
@@ -179,3 +180,39 @@ def pnp_ransac(
         n_inl.astype(jnp.float32) >= min_inlier_ratio * nv.astype(jnp.float32))
     return PnPResult(geom.quat_normalize(q_f), t_f, inl_f,
                      n_inl.astype(jnp.int32), ok)
+
+
+@functools.partial(jax.jit, static_argnames=("num_trials", "sample_size",
+                                             "refine_iters"))
+def pnp_ransac_packed(key, x3d, xn, valid, max_error_n,
+                      min_num_inliers=30, min_inlier_ratio: float = 0.25,
+                      num_trials: int = 256, sample_size: int = 6,
+                      refine_iters: int = 10) -> jax.Array:
+    """`pnp_ransac` packed into ONE (9 + N,) float array:
+    [qvec(4), tvec(3), num_inliers(1), ok(1), inlier_mask(N)] — a single
+    device->host transfer for the engine's registration loop."""
+    res = pnp_ransac(key, x3d, xn, valid, max_error_n,
+                     min_num_inliers=min_num_inliers,
+                     min_inlier_ratio=min_inlier_ratio,
+                     num_trials=num_trials, sample_size=sample_size,
+                     refine_iters=refine_iters)
+    dt = res.tvec.dtype
+    return jnp.concatenate([
+        res.qvec.astype(dt), res.tvec,
+        res.num_inliers.astype(dt)[None], res.ok.astype(dt)[None],
+        res.inlier_mask.astype(dt)])
+
+
+@persistent_jit(static_argnames=("num_trials", "sample_size", "refine_iters"))
+def pnp_ransac_packed_cols(key, data, max_error_n,
+                           min_num_inliers=30, min_inlier_ratio: float = 0.25,
+                           num_trials: int = 256, sample_size: int = 6,
+                           refine_iters: int = 10) -> jax.Array:
+    """Packed-input variant: data (N, 6) = [x3d(3), xn(2), valid(1)];
+    output as in `pnp_ransac_packed`. One upload + one download."""
+    return pnp_ransac_packed(key, data[:, 0:3], data[:, 3:5], data[:, 5] > 0.5,
+                             max_error_n,
+                             min_num_inliers=min_num_inliers,
+                             min_inlier_ratio=min_inlier_ratio,
+                             num_trials=num_trials, sample_size=sample_size,
+                             refine_iters=refine_iters)

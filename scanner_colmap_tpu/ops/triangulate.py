@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.utils.jit_cache import persistent_jit
 
 
 def projection_matrices(qvecs: jax.Array, tvecs: jax.Array) -> jax.Array:
@@ -87,6 +88,26 @@ def triangulate_tracks(
 
     ok = (jnp.sum(view_ok, axis=-1) >= 2) & (max_ang >= min_tri_angle)
     return xyz, ok, view_ok
+
+
+@persistent_jit
+def triangulate_tracks_packed(data: jax.Array, max_reproj_error_n: jax.Array,
+                              min_tri_angle: jax.Array):
+    """Single-upload / single-download variant for the host engine.
+
+    data: (B, T, 10) rows of [qvec(4), tvec(3), xn(2), mask(1)].
+    Returns one (B, 4 + T) array of [xyz(3), ok(1), view_ok(T)] so callers
+    on high-latency tunneled backends pay ONE device->host transfer.
+    """
+    qv = data[..., 0:4]
+    tv = data[..., 4:7]
+    xn = data[..., 7:9]
+    mask = data[..., 9] > 0.5
+    xyz, ok, view_ok = triangulate_tracks(qv, tv, xn, mask,
+                                          max_reproj_error_n, min_tri_angle)
+    return jnp.concatenate(
+        [xyz, ok[:, None].astype(xyz.dtype), view_ok.astype(xyz.dtype)],
+        axis=1)
 
 
 def two_view_triangulation_angle(q1, t1, q2, t2, xyz):

@@ -45,6 +45,7 @@ from scanner_colmap_tpu.ops import sift as sift_ops
 from scanner_colmap_tpu.ops import two_view as tv_ops
 from scanner_colmap_tpu.utils import colmap_io
 from scanner_colmap_tpu.utils.config import PipelineConfig
+from scanner_colmap_tpu.utils.jit_cache import persistent_jit
 from scanner_colmap_tpu.utils.store import ArtifactStore
 
 log = logging.getLogger(__name__)
@@ -74,7 +75,9 @@ def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                 peak_threshold=peak_threshold, edge_threshold=edge_threshold,
                 upright=upright),
             (imgs, vhws))
-    return jax.jit(run)
+    return persistent_jit(run, salt=(max_num_features, num_octaves,
+                                     scales_per_octave, init_sigma,
+                                     peak_threshold, edge_threshold, upright))
 
 
 @functools.lru_cache(maxsize=8)
@@ -86,7 +89,7 @@ def _match_all_fn(max_ratio, max_distance, cross_check):
                 d[a], d[b], v[a], v[b], max_ratio=max_ratio,
                 max_distance=max_distance, cross_check=cross_check)
         return jax.lax.map(per_pair, (ai, bi))
-    return jax.jit(run)
+    return persistent_jit(run, salt=(max_ratio, max_distance, cross_check))
 
 
 @functools.lru_cache(maxsize=8)
@@ -99,7 +102,8 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials):
                 max_error=max_error, min_num_inliers=min_num_inliers,
                 min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
         return jax.lax.map(per_pair, (keys, uv1, uv2, vm, K1, K2))
-    return jax.jit(run)
+    return persistent_jit(run, salt=(max_error, min_num_inliers,
+                                     min_inlier_ratio, num_trials))
 
 
 @functools.lru_cache(maxsize=8)
@@ -112,7 +116,8 @@ def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
                 max_epipolar_error=max_epipolar_error,
                 max_distance=max_distance, cross_check=cross_check)
         return jax.lax.map(per_pair, (ar, br, uva, uvb, fs))
-    return jax.jit(run)
+    return persistent_jit(run, salt=(max_epipolar_error, max_distance,
+                                     cross_check))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,160 @@
+"""Disk-backed AOT executable cache (persistent_jit).
+
+JAX's built-in persistent compilation cache does not capture compiles on
+remote-compile backends (observed: every process pays ~2 s per distinct
+program shape). XLA executable *serialization* does work there, so this
+module implements the cache one level up: each (function, input-shapes,
+static-args) signature is lowered+compiled once, serialized with
+jax.experimental.serialize_executable, and written to disk; later processes
+deserialize in ~1 ms instead of recompiling.
+
+Scope: single-device jits with hashable static kwargs (the engine's hot
+solves). Anything that fails to serialize (multi-device, donation, exotic
+primitives) silently falls back to the plain jit path.
+
+Usage:
+    @persistent_jit(static_argnames=("max_iterations", "chunk"))
+    def solve(x, *, max_iterations=10, chunk=64): ...
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import inspect
+import logging
+import os
+import pickle
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DISABLE = bool(os.environ.get("SCT_DISABLE_JIT_CACHE"))
+
+
+def default_cache_dir() -> str:
+    d = os.environ.get("SCT_JIT_CACHE")
+    if d:
+        return d
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, ".jit_cache")
+
+
+def _leaf_sig(x):
+    if isinstance(x, (bool, int, float, complex)):
+        return (type(x).__name__, x if isinstance(x, (bool,)) else None)
+    shape = getattr(x, "shape", None)
+    dtype = getattr(x, "dtype", None)
+    if shape is None:
+        return ("obj", repr(x))
+    return (tuple(shape), str(dtype),
+            bool(getattr(x, "weak_type", False)))
+
+
+class _PersistentJit:
+    def __init__(self, fn, static_argnames=(), version: int = 0, salt=None):
+        self._fn = fn
+        self._static = tuple(static_argnames)
+        self._jit = None  # built lazily (jax import deferred)
+        self._mem = {}
+        self._lock = threading.Lock()
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        # salt: REQUIRED extra key material when fn is a closure — the source
+        # hash cannot see captured values, so the caller must key them
+        self._salt = hashlib.sha256(
+            f"{fn.__module__}.{fn.__qualname__}|{version}|{src}|{salt!r}"
+            .encode()).hexdigest()[:16]
+        functools.update_wrapper(self, fn)
+
+    def _get_jit(self):
+        if self._jit is None:
+            import jax
+
+            self._jit = jax.jit(self._fn, static_argnames=self._static)
+        return self._jit
+
+    def _key(self, args, kwargs):
+        import jax
+
+        leaves, treedef = jax.tree.flatten((args, kwargs))
+        sig = tuple(_leaf_sig(x) for x in leaves)
+        h = hashlib.sha256(
+            repr((self._salt, str(treedef), sig, jax.__version__,
+                  jax.devices()[0].device_kind,
+                  len(jax.devices()))).encode()).hexdigest()[:24]
+        return h
+
+    def __call__(self, *args, **kwargs):
+        if _DISABLE:
+            return self._get_jit()(*args, **kwargs)
+        import jax
+
+        # inside another trace (jit/vmap/shard_map), defer to plain jit —
+        # AOT lowering requires concrete shapes and a top-level call site
+        leaves = jax.tree.leaves((args, kwargs))
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            return self._get_jit()(*args, **kwargs)
+        # CPU backends: plain jit. CPU AOT results embed machine features
+        # (breaks across hosts) and multi-device test meshes change the
+        # expected input sharding; the cache targets remote TPU backends
+        # where compiles cost ~2 s per program.
+        if jax.devices()[0].platform == "cpu":
+            return self._get_jit()(*args, **kwargs)
+
+        key = self._key(args, kwargs)
+        exe = self._mem.get(key)
+        if exe is not None:
+            return exe(*args, **{k: v for k, v in kwargs.items()
+                                 if k not in self._static})
+
+        with self._lock:
+            exe = self._mem.get(key)
+            if exe is None:
+                exe = self._load_or_compile(key, args, kwargs)
+                self._mem[key] = exe
+        return exe(*args, **{k: v for k, v in kwargs.items()
+                             if k not in self._static})
+
+    def _load_or_compile(self, key, args, kwargs):
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load, serialize)
+
+        path = os.path.join(default_cache_dir(), f"{key}.xc")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as fh:
+                    payload, in_tree, out_tree = pickle.load(fh)
+                return deserialize_and_load(payload, in_tree, out_tree)
+            except Exception as e:
+                log.info("jit-cache load failed (%s); recompiling", e)
+
+        jitted = self._get_jit()
+        compiled = jitted.lower(*args, **kwargs).compile()
+        try:
+            payload, in_tree, out_tree = serialize(compiled)
+            os.makedirs(default_cache_dir(), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                pickle.dump((payload, in_tree, out_tree), fh)
+            os.replace(tmp, path)
+        except Exception as e:
+            log.info("jit-cache store failed (%s); caching in-memory only", e)
+        return compiled
+
+
+def persistent_jit(fn=None, *, static_argnames=(), version: int = 0,
+                   salt=None):
+    """jax.jit with a disk-backed AOT executable cache (see module doc).
+
+    When wrapping a CLOSURE, pass the captured values as `salt` — the cache
+    key hashes the source text, which cannot distinguish closure instances.
+    """
+    if fn is None:
+        return lambda f: _PersistentJit(f, static_argnames, version, salt)
+    return _PersistentJit(fn, static_argnames, version, salt)
