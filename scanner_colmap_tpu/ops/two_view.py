@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.ops.linalg3 import inv33 as _inv33
 
 # COLMAP TwoViewGeometry configuration enum (interchange-compatible)
 UNDEFINED = 0
@@ -78,13 +79,35 @@ def _normalize_points(pts: jax.Array, mask: jax.Array):
 
 def _smallest_eigvec(A: jax.Array):
     """Right null vector of A (..., m, n): eigenvector of A^T A with smallest
-    eigenvalue. Uses eigh (TPU-friendly, small fixed n)."""
+    eigenvalue. Uses eigh — exact but expensive in large batches on TPU
+    (QR-iteration sweeps); RANSAC trial batches use _null_vec_fast."""
     AtA = jnp.einsum("...ki,...kj->...ij", A, A)
     _, V = jnp.linalg.eigh(AtA)
     return V[..., :, 0]
 
 
-def fundamental_8pt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None):
+def _null_vec_fast(A: jax.Array, iters: int = 3):
+    """Approximate right null vector of A (..., m, n) by INVERSE ITERATION
+    on A^T A + eps*I: each step is one batched n x n solve (one LU pass)
+    instead of eigh's ~30 QR sweeps. For minimal-sample systems the null
+    eigenvalue is ~0 << lambda_2, so 2-3 iterations converge; hypothesis
+    noise beyond that is absorbed by RANSAC scoring (refits stay exact)."""
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    n = A.shape[-1]
+    tr = jnp.einsum("...ii->...", AtA)[..., None, None]
+    # f32-visible regularizer: keeps the shifted matrix invertible when the
+    # sample is exact (singular AtA) without hurting the eigen-gap
+    M = AtA + (1e-6 * tr + 1e-20) * jnp.eye(n, dtype=A.dtype)
+    v = jnp.full(A.shape[:-2] + (n, 1), 1.0 / (n ** 0.5), A.dtype)
+    for _ in range(iters):
+        v = jnp.linalg.solve(M, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-2, keepdims=True), 1e-30)
+    v = v[..., 0]
+    return jnp.where(jnp.isfinite(v), v, 1.0 / (n ** 0.5))
+
+
+def fundamental_8pt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None,
+                    exact: bool = True):
     """8-point fundamental matrix. x1, x2: (..., K>=8, 2); mask optional.
 
     Returns F (..., 3, 3), rank-2 enforced, unit norm, de-normalized.
@@ -99,28 +122,63 @@ def fundamental_8pt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None)
     # row per correspondence: x2^T F x1 = 0
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1)
     A = A * mask[..., None]
-    f = _smallest_eigvec(A)
+    f = _smallest_eigvec(A) if exact else _null_vec_fast(A)
     Fm = f.reshape(f.shape[:-1] + (3, 3))
-    # rank-2: zero the smallest singular value
-    U, S, Vt = jnp.linalg.svd(Fm)
-    S = S.at[..., 2].set(0.0)
-    Fm = U @ (S[..., None] * Vt)
+    # rank-2 enforcement is LOAD-BEARING even for trial scoring: an
+    # unconstrained 3x3 "F" has no epipolar geometry and its MSAC score can
+    # beat every valid hypothesis (observed: registration collapse). Trials
+    # use a closed-form projection; refits use exact SVD.
+    Fm = enforce_rank2(Fm) if exact else _rank2_project_fast(Fm)
     Fm = jnp.swapaxes(T2, -1, -2) @ Fm @ T1
     norm = jnp.linalg.norm(Fm, axis=(-2, -1), keepdims=True)
     return Fm / jnp.maximum(norm, 1e-12)
 
 
-def essential_8pt(x1n: jax.Array, x2n: jax.Array, mask: jax.Array | None = None):
+def enforce_rank2(Fm: jax.Array) -> jax.Array:
+    """Project (..., 3, 3) onto rank-2 by zeroing the smallest singular value."""
+    U, S, Vt = jnp.linalg.svd(Fm)
+    S = S.at[..., 2].set(0.0)
+    return U @ (S[..., None] * Vt)
+
+
+def _rank2_project_fast(F: jax.Array) -> jax.Array:
+    """Approximate rank-2 projection of (..., 3, 3) without SVD: the smallest
+    singular pair (u3, v3) via two closed-form inverse iterations (adjugate
+    inv33) on F^T F and F F^T, then subtract sigma3 * u3 v3^T. Accurate when
+    sigma3 << sigma2 (any usable hypothesis); degenerate samples produce bad
+    models that MSAC scores out regardless."""
+
+    def _smallest_vec(M):
+        tr = jnp.einsum("...ii->...", M)[..., None, None]
+        Minv = _inv33(M + (1e-6 * tr + 1e-25) * jnp.eye(3, dtype=M.dtype))
+        v = jnp.sum(Minv, axis=-1)               # Minv @ ones
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+        v = jnp.einsum("...ij,...j->...i", Minv, v)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+    v3 = _smallest_vec(jnp.einsum("...ki,...kj->...ij", F, F))
+    u3 = _smallest_vec(jnp.einsum("...ik,...jk->...ij", F, F))
+    s3 = jnp.einsum("...i,...ij,...j->...", u3, F, v3)
+    F2 = F - s3[..., None, None] * u3[..., :, None] * v3[..., None, :]
+    return jnp.where(jnp.isfinite(F2), F2, 0.0)
+
+
+def essential_8pt(x1n: jax.Array, x2n: jax.Array, mask: jax.Array | None = None,
+                  exact: bool = True):
     """Essential matrix from >=8 K-normalized correspondences (z=1 plane
-    coords). Enforces the (1,1,0) singular structure."""
-    E = fundamental_8pt(x1n, x2n, mask)
+    coords). Enforces the (1,1,0) singular structure (exact path only; the
+    RANSAC winner is re-constrained before pose recovery)."""
+    E = fundamental_8pt(x1n, x2n, mask, exact=exact)
+    if not exact:
+        return E
     U, S, Vt = jnp.linalg.svd(E)
     s = 0.5 * (S[..., 0] + S[..., 1])
     Snew = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
     return U @ (Snew[..., None] * Vt)
 
 
-def homography_dlt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None):
+def homography_dlt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None,
+                   exact: bool = True):
     """DLT homography from >=4 correspondences: x2 ~ H x1. (..., K, 2)."""
     if mask is None:
         mask = jnp.ones(x1.shape[:-1], bool)
@@ -133,7 +191,7 @@ def homography_dlt(x1: jax.Array, x2: jax.Array, mask: jax.Array | None = None):
     r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1)
     r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     A = jnp.concatenate([r1 * mask[..., None], r2 * mask[..., None]], axis=-2)
-    h = _smallest_eigvec(A)
+    h = _smallest_eigvec(A) if exact else _null_vec_fast(A)
     Hn = h.reshape(h.shape[:-1] + (3, 3))
     Hm = jnp.linalg.solve(T2, Hn @ T1)
     return Hm / jnp.maximum(jnp.abs(Hm[..., 2:3, 2:3]), 1e-12) * jnp.sign(
@@ -194,7 +252,9 @@ def ransac(key, x1, x2, valid, solver, residual_fn, num_trials: int,
     samples = _draw_samples(key, num_trials, sample_size, n, valid)
     sx1 = x1[samples]  # (S, k, 2)
     sx2 = x2[samples]
-    models = solver(sx1, sx2)  # (S, 3, 3)
+    # trials use the fast inverse-iteration null vector; the single refit
+    # below uses exact eigh (hypothesis noise is absorbed by MSAC scoring)
+    models = solver(sx1, sx2, None, False)  # (S, 3, 3)
     errs = residual_fn(models, x1[None], x2[None])  # (S, N)
     errs = jnp.where(valid[None, :], errs, thr)
     score = jnp.sum(jnp.minimum(errs, thr), axis=-1)  # lower is better
@@ -215,9 +275,9 @@ def ransac(key, x1, x2, valid, solver, residual_fn, num_trials: int,
 
 
 def _solver_with_mask(solver):
-    """Adapt solver(x1, x2) to also accept an optional mask (for refit)."""
-    def run(x1, x2, mask=None):
-        return solver(x1, x2, mask)
+    """Adapt solver(x1, x2, mask, exact) to the ransac calling convention."""
+    def run(x1, x2, mask=None, exact=True):
+        return solver(x1, x2, mask, exact=exact)
     return run
 
 
@@ -226,27 +286,28 @@ def _solver_with_mask(solver):
 # ---------------------------------------------------------------------------
 
 def _triangulate_simple(R, t, x1n, x2n):
-    """Midpoint-free DLT triangulation for cheirality checks.
+    """Cheap triangulation for cheirality checks.
 
     R,t: cam1->cam2. x1n/x2n: (N,2) normalized coords. Returns (N,3) points
     in cam1 frame and depths in both cams.
     """
-    # DLT per point: rows from [x]_x P
-    N = x1n.shape[0]
-    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    P2 = jnp.concatenate([R, t[:, None]], axis=1)
-
-    def tri(p1, p2):
-        A = jnp.stack([
-            p1[0] * P1[2] - P1[0],
-            p1[1] * P1[2] - P1[1],
-            p2[0] * P2[2] - P2[0],
-            p2[1] * P2[2] - P2[1],
-        ])
-        X = _smallest_eigvec(A)
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-
-    X = jax.vmap(tri)(x1n, x2n)  # (N, 3) in cam1
+    # closed-form MIDPOINT triangulation (no per-point eigh): rays d1 from
+    # cam1 origin, d2 from cam2 center c2 = -R^T t, both in cam1 frame;
+    # solve the 2x2 normal equations of min |s d1 - (c2 + u d2)|^2
+    ones = jnp.ones_like(x1n[:, :1])
+    d1 = jnp.concatenate([x1n, ones], axis=-1)                 # (N, 3)
+    d2 = jnp.concatenate([x2n, ones], axis=-1) @ R             # R^T [x2n;1]
+    c2 = -(R.T @ t)
+    a = jnp.sum(d1 * d1, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    c = jnp.sum(d2 * d2, axis=-1)
+    e1 = d1 @ c2
+    e2 = d2 @ c2
+    det = a * c - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)  # parallel rays
+    s = (c * e1 - b * e2) / det
+    u = (b * e1 - a * e2) / det
+    X = 0.5 * (s[:, None] * d1 + c2 + u[:, None] * d2)         # (N, 3) cam1
     z1 = X[:, 2]
     z2 = (X @ R.T + t)[:, 2]
     return X, z1, z2
@@ -329,6 +390,10 @@ def estimate_two_view_geometry(
 
     F, inl_F, n_F, _ = ransac(kF, x1, x2, valid, _solver_with_mask(fundamental_8pt),
                               sampson_error, num_trials, 8, max_error)
+    # the winner may be an unconstrained trial model (fast path skips the
+    # per-trial SVD); project onto rank-2 once here
+    F = enforce_rank2(F)
+    F = F / jnp.maximum(jnp.linalg.norm(F), 1e-12)
     H, inl_H, n_H, _ = ransac(kH, x1, x2, valid, _solver_with_mask(homography_dlt),
                               homography_error, num_trials, 4, max_error)
 

@@ -80,6 +80,18 @@ def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                                      peak_threshold, edge_threshold, upright))
 
 
+def _chunked_map(f, xs, chunk: int):
+    """vmap `f` over the leading axis in fixed-size chunks: a lax.map of a
+    vmapped body. Parallel (MXU-batched) within a chunk, sequential across
+    chunks — full parallelism without materializing every pair's
+    intermediates (e.g. 1024x1024 distance matrices) at once."""
+    NP = jax.tree.leaves(xs)[0].shape[0]
+    C = min(chunk, NP)
+    xs_c = jax.tree.map(lambda x: x.reshape((NP // C, C) + x.shape[1:]), xs)
+    ys_c = jax.lax.map(lambda c: jax.vmap(f)(c), xs_c)
+    return jax.tree.map(lambda y: y.reshape((NP,) + y.shape[2:]), ys_c)
+
+
 @functools.lru_cache(maxsize=8)
 def _match_all_fn(max_ratio, max_distance, cross_check):
     def run(d, v, ai, bi):
@@ -88,7 +100,7 @@ def _match_all_fn(max_ratio, max_distance, cross_check):
             return matching_ops.match_descriptors(
                 d[a], d[b], v[a], v[b], max_ratio=max_ratio,
                 max_distance=max_distance, cross_check=cross_check)
-        return jax.lax.map(per_pair, (ai, bi))
+        return _chunked_map(per_pair, (ai, bi), 16)
     return persistent_jit(run, salt=(max_ratio, max_distance, cross_check))
 
 
@@ -101,7 +113,7 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials):
                 k, u1, u2, v, k1m, k2m, calibrated=True,
                 max_error=max_error, min_num_inliers=min_num_inliers,
                 min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
-        return jax.lax.map(per_pair, (keys, uv1, uv2, vm, K1, K2))
+        return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2), 8)
     return persistent_jit(run, salt=(max_error, min_num_inliers,
                                      min_inlier_ratio, num_trials))
 
@@ -115,7 +127,7 @@ def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
                 d[a], d[b], v[a], v[b], ua, ub, f,
                 max_epipolar_error=max_epipolar_error,
                 max_distance=max_distance, cross_check=cross_check)
-        return jax.lax.map(per_pair, (ar, br, uva, uvb, fs))
+        return _chunked_map(per_pair, (ar, br, uva, uvb, fs), 16)
     return persistent_jit(run, salt=(max_epipolar_error, max_distance,
                                      cross_check))
 

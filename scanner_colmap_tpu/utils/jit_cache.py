@@ -33,6 +33,28 @@ log = logging.getLogger(__name__)
 
 _DISABLE = bool(os.environ.get("SCT_DISABLE_JIT_CACHE"))
 
+_PKG_FP = None
+
+
+def _package_fingerprint() -> str:
+    """Content hash of every .py in the package. A wrapped function's source
+    hash cannot see changes in its callees, so the whole package fingerprints
+    the cache: any source edit invalidates all entries (correctness first —
+    stale executables silently compute the OLD code)."""
+    global _PKG_FP
+    if _PKG_FP is None:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(fn.encode())
+                        h.update(f.read())
+        _PKG_FP = h.hexdigest()[:16]
+    return _PKG_FP
+
 
 def default_cache_dir() -> str:
     d = os.environ.get("SCT_JIT_CACHE")
@@ -85,8 +107,8 @@ class _PersistentJit:
         leaves, treedef = jax.tree.flatten((args, kwargs))
         sig = tuple(_leaf_sig(x) for x in leaves)
         h = hashlib.sha256(
-            repr((self._salt, str(treedef), sig, jax.__version__,
-                  jax.devices()[0].device_kind,
+            repr((self._salt, _package_fingerprint(), str(treedef), sig,
+                  jax.__version__, jax.devices()[0].device_kind,
                   len(jax.devices()))).encode()).hexdigest()[:24]
         return h
 
