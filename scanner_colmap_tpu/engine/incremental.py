@@ -629,9 +629,6 @@ class IncrementalMapper:
             for s, iid in enumerate(meta["image_ids"]):
                 if iid not in inside:
                     cam_in[s, 12:18] = 0.0
-        # COLMAP refines focal when no prior focal; distortion always
-        any_prior = all(self.rec.cameras[self.rec.images[i].camera_id].prior_focal
-                        for i in meta["image_ids"])
         # per-slot prior weight = weight of the PHYSICAL camera divided by
         # its group size (shared-camera slots sum to one camera's prior)
         group_size = {}
@@ -643,8 +640,13 @@ class IncrementalMapper:
             g = group_size[self.rec.images[iid].camera_id]
             cam_in[s, 20] = self.cfg.intr_prior_weight_f / g
             cam_in[s, 21] = self.cfg.intr_prior_weight_k / g
+        # COLMAP's BA default refines focal even with an EXIF prior
+        # (ba_refine_focal_length=true — the prior is the INIT, and the
+        # quadratic prior term above keeps the solve in its basin; from a
+        # prior-less 1.2*max(w,h) default init the reconstruction is
+        # self-consistent at the wrong focal and BA cannot escape anyway)
         scal_in = np.asarray([
-            float(refine_intrinsics and not any_prior),
+            float(bool(refine_intrinsics)),
             float(bool(refine_intrinsics)),
             float(self.cfg.filter_max_reproj_error)], np.float32)
 

@@ -105,8 +105,16 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
                              + (yy[y0:y1, x0:x1] - v[b]) ** 2) / (2 * s * s))
             img[y0:y1, x0:x1] += signs[b] * amps[b] * patch
         img = np.clip(img, 0, 1)
-        PILImage.fromarray((img * 255).astype(np.uint8), "L").convert("RGB").save(
-            os.path.join(out_dir, f"image_{i:04d}.png"))
+        # JPEG with EXIF focal metadata, like real photos: exercises the
+        # extraction stage's EXIF camera-prior path (reference
+        # extraction_op.cc:49-55 reads EXIF focal length). The
+        # FocalLengthIn35mmFilm tag is integer — the ~2% rounding is real
+        # EXIF behavior; BA refines focal from the prior.
+        pil = PILImage.fromarray((img * 255).astype(np.uint8), "L").convert("RGB")
+        exif = PILImage.Exif()
+        exif[0xA405] = int(round(focal * 36.0 / width))  # FocalLengthIn35mmFilm
+        pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
+                 quality=95, exif=exif)
 
     gt = {
         "focal": focal, "width": width, "height": height,
