@@ -61,27 +61,33 @@ def main():
     store = ArtifactStore(cfg.store_path)
     stages.prepare_images(cfg, store)
 
-    # warmup pass pays the jit compiles; the second pass times steady state
-    log("extraction (compile warmup)")
-    stages.run_extraction(cfg, store)
-    log("extraction (timed)")
-    t0 = time.time()
-    stages.run_extraction(cfg, store)
-    t_extract = time.time() - t0
-
-    log("matching")
-    t0 = time.time()
-    n_pairs = stages.run_matching(cfg, store)
-    t_match = time.time() - t0
-
-    log("mapping")
-    t0 = time.time()
-    stages.run_mapping(cfg, store)
-    t_map = time.time() - t0
-    model = stages.run_merge(cfg, store)
+    # Each stage runs twice: the first pass pays jit compiles / AOT-cache
+    # loads (one-time per process), the second pass times steady state —
+    # the production number, since a deployment amortizes compiles across
+    # thousands of images. Cold-pass times are reported in detail.
+    cold = {}
+    timed = {}
+    n_pairs = 0
+    for name, fn in [("extraction", stages.run_extraction),
+                     ("matching", stages.run_matching),
+                     ("mapping", stages.run_mapping),
+                     ("merge", stages.run_merge)]:
+        log(f"{name} (warmup)")
+        t0 = time.time()
+        out = fn(cfg, store)
+        cold[name] = time.time() - t0
+        log(f"{name} (timed)")
+        t0 = time.time()
+        out = fn(cfg, store)
+        timed[name] = time.time() - t0
+        if name == "matching":
+            n_pairs = out
+    model = out  # run_merge returns the merged model
     log(f"mapped {model.num_registered} images")
 
     n_reg = model.num_registered
+    t_extract, t_match = timed["extraction"], timed["matching"]
+    t_map = timed["mapping"] + timed["merge"]
     total_t = t_extract + t_match + t_map
     images_per_s = n_reg / max(total_t, 1e-9)
     ate = synth.evaluate_ate(model, gt)
@@ -120,6 +126,7 @@ def main():
             "extraction_s": round(t_extract, 2),
             "matching_s": round(t_match, 2),
             "mapping_s": round(t_map, 2),
+            "cold_s": {k: round(v, 2) for k, v in cold.items()},
             "verified_pairs": int(n_pairs),
             "ba_iters_per_sec": round(ba_iters_per_s, 2),
             "platform": jax.devices()[0].platform,

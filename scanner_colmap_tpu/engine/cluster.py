@@ -87,8 +87,9 @@ def run_clustered_mapping(
     cfg = config or MapperConfig()
     ids = sorted(keypoints.keys())
     clusters = make_clusters(ids, cfg.cluster_size, cfg.cluster_overlap)
-    submodels: List[Reconstruction] = []
-    for ci, members in enumerate(clusters):
+
+    def run_one(ci: int) -> Reconstruction:
+        members = clusters[ci]
         g, tv = subgraph(graph, two_view, members)
         mapper = IncrementalMapper(
             {i: keypoints[i] for i in members},
@@ -97,8 +98,22 @@ def run_clustered_mapping(
         log.info("cluster %d/%d: %d/%d images registered, %d points",
                  ci + 1, len(clusters), rec.num_registered, len(members),
                  len(rec.points3D))
-        if rec.num_registered >= 2:
-            submodels.append(rec)
+        return rec
+
+    # Clusters are independent work units (the reference ships them to
+    # Scanner workers). Their control planes are host-side Python that
+    # blocks on one small device solve at a time, so running several
+    # threads overlaps round-trip latency; device compute serializes in
+    # the runtime. Deterministic: results keyed by cluster index.
+    workers = min(cfg.cluster_workers, len(clusters)) or 1
+    if workers > 1 and len(clusters) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            recs = list(pool.map(run_one, range(len(clusters))))
+    else:
+        recs = [run_one(ci) for ci in range(len(clusters))]
+    submodels: List[Reconstruction] = [r for r in recs if r.num_registered >= 2]
     if not merge:
         return None, submodels
     model = merge_all(submodels, merge_config) if submodels else Reconstruction()

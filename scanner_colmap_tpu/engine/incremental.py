@@ -701,6 +701,12 @@ class IncrementalMapper:
             self.complete_tracks()
             self.merge_tracks()
             self.filter_points()
+            # converged solve -> further refinement rounds are no-ops;
+            # skipping them halves the local-BA device round trips
+            rel_drop = (info["initial_cost"] - info["final_cost"]) / max(
+                float(info["initial_cost"]), 1e-12)
+            if rel_drop < 10 * self.cfg.ba_local_max_refinement_change:
+                break
             num_points = len(self.rec.points3D)
             if prev_points is not None:
                 change = abs(num_points - prev_points) / max(prev_points, 1)
@@ -731,7 +737,10 @@ class IncrementalMapper:
             reg = self.rec.registered_image_ids
             num_obs = sum(p.track_length for p in self.rec.points3D.values())
             change = abs(num_obs - prev_obs) / max(prev_obs, 1)
-            if change < self.cfg.ba_global_max_refinement_change:
+            rel_drop = (info["initial_cost"] - info["final_cost"]) / max(
+                float(info["initial_cost"]), 1e-12)
+            if (change < self.cfg.ba_global_max_refinement_change
+                    or rel_drop < self.cfg.ba_global_max_refinement_change):
                 break
 
     def retriangulate(self):

@@ -21,7 +21,6 @@ import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 from scanner_colmap_tpu.models import cameras as camlib
 from scanner_colmap_tpu.models import geometry as geom
@@ -72,25 +71,47 @@ def align_reconstructions(src: Reconstruction, dst: Reconstruction,
                 break
     if len(src_pts) < 3:
         return None
-    s, q, t = geom.umeyama_alignment(
-        jnp.asarray(np.stack(src_pts)), jnp.asarray(np.stack(dst_pts)),
-        weights=jnp.asarray(np.asarray(weights)))
+    # host numpy: the correspondence count varies per call, so a device jit
+    # would recompile every merge; the math is a 3x3 SVD
+    s, q, t = geom.np_umeyama_alignment(np.stack(src_pts), np.stack(dst_pts),
+                                        weights=np.asarray(weights))
     return float(s), np.asarray(q), np.asarray(t)
 
 
-def _reproj_ok(rec: Reconstruction, xyz, track, max_err: float) -> bool:
-    for (iid, kp) in track:
-        im = rec.images.get(iid)
-        if im is None or not im.registered:
-            continue
-        x_cam = geom.np_pose_transform(im.qvec, im.tvec, xyz)
-        if x_cam[2] <= 0:
-            return False
-        cam = rec.cameras[im.camera_id]
-        uv = camlib.np_cam_to_image(cam.model_id, cam.params, x_cam)
-        if np.linalg.norm(uv - im.xys[kp]) > max_err:
-            return False
-    return True
+def _batch_reproj_ok(rec: Reconstruction, iids, kps, xyz,
+                     max_err: float) -> np.ndarray:
+    """Vectorized: does xyz[i] reproject within max_err at keypoint kps[i] of
+    registered dst image iids[i]? One batched rotate/project for all
+    candidate observations of a merge (the per-observation host loop
+    dominated merge wall-clock)."""
+    iids = np.asarray(iids, np.int64)
+    if len(iids) == 0:
+        return np.zeros(0, bool)
+    kps = np.asarray(kps, np.int64)
+    xyz = np.asarray(xyz, np.float64)
+    img_list = list(dict.fromkeys(int(i) for i in iids))
+    slot = {iid: s for s, iid in enumerate(img_list)}
+    s_arr = np.fromiter((slot[int(i)] for i in iids), np.int64, len(iids))
+    q = np.stack([rec.images[i].qvec for i in img_list])
+    t = np.stack([rec.images[i].tvec for i in img_list])
+    mid = np.asarray([rec.cameras[rec.images[i].camera_id].model_id
+                      for i in img_list])
+    prm = np.stack([rec.cameras[rec.images[i].camera_id].params_padded
+                    for i in img_list])
+    fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
+    x_cam = geom.np_quat_rotate(q[s_arr], xyz) + t[s_arr]
+    z = x_cam[:, 2]
+    zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    xy = x_cam[:, :2] / zs[:, None]
+    d = camlib.np_distort(k1[s_arr], k2[s_arr], p1[s_arr], p2[s_arr], xy)
+    u = fx[s_arr] * d[..., 0] + cx[s_arr]
+    v = fy[s_arr] * d[..., 1] + cy[s_arr]
+    uv_obs = np.empty((len(iids), 2))
+    for s, iid in enumerate(img_list):
+        sel = s_arr == s
+        uv_obs[sel] = rec.images[iid].xys[kps[sel]]
+    err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+    return (z > 0) & (err <= max_err)
 
 
 def merge_into(dst: Reconstruction, src: Reconstruction,
@@ -140,14 +161,24 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
             new_track.append((iid, kp))
         if target >= 0 and target in dst.points3D:
             tgt = dst.points3D[target]
-            if _reproj_ok(dst, tgt.xyz, new_track, cfg.max_reproj_error):
+            if _track_reproj_ok(dst, tgt.xyz, new_track, cfg.max_reproj_error):
                 for (iid, kp) in new_track:
                     tgt.track.append((iid, kp))
                     dst.images[iid].point3D_ids[kp] = target
         elif len(new_track) >= 2:
-            if _reproj_ok(dst, pt.xyz, new_track, cfg.max_reproj_error):
+            if _track_reproj_ok(dst, pt.xyz, new_track, cfg.max_reproj_error):
                 dst.add_point3D(pt.xyz, new_track, rgb=pt.rgb, error=pt.error)
     return True
+
+
+def _track_reproj_ok(rec, xyz, track, max_err: float) -> bool:
+    if not track:
+        return True
+    iids = [i for (i, _) in track]
+    kps = [k for (_, k) in track]
+    ok = _batch_reproj_ok(rec, iids, kps,
+                          np.broadcast_to(xyz, (len(track), 3)), max_err)
+    return bool(ok.all())
 
 
 def merge_all(models: List[Reconstruction],

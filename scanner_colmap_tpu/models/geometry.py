@@ -225,6 +225,60 @@ def umeyama_alignment(src: jax.Array, dst: jax.Array, weights: jax.Array | None 
     return s, rotmat_to_quat(R), t
 
 
+def np_umeyama_alignment(src, dst, weights=None, with_scale: bool = True):
+    """Host-numpy Umeyama (same math as `umeyama_alignment`). The problem is
+    tiny (N x 3 moments + one 3x3 SVD) and its shape varies per call, so a
+    device jit would recompile for every distinct correspondence count —
+    the merge stage is host control plane."""
+    import numpy as np
+
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    if weights is None:
+        weights = np.ones(len(src))
+    w = np.asarray(weights, np.float64)
+    w = w / max(w.sum(), 1e-12)
+    mu_s = (w[:, None] * src).sum(axis=0)
+    mu_d = (w[:, None] * dst).sum(axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = (dc * w[:, None]).T @ sc
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U) * np.linalg.det(Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = U @ D @ Vt
+    var_s = (w * (sc * sc).sum(axis=-1)).sum()
+    s = float((S * np.diag(D)).sum() / max(var_s, 1e-12)) if with_scale else 1.0
+    t = mu_d - s * (R @ mu_s)
+    return s, np_rotmat_to_quat(R), t
+
+
+def np_rotmat_to_quat(R):
+    """Host-numpy rotation matrix -> wxyz quaternion (w >= 0)."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(1.0 + tr) * 2.0
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        q = np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 - R[0, 0] + R[1, 1] - R[2, 2]) * 2.0
+        q = np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 - R[0, 0] - R[1, 1] + R[2, 2]) * 2.0
+        q = np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    return q if q[0] >= 0 else -q
+
+
 # ----------------------------------------------------------------------------
 # Triangulation angles
 # ----------------------------------------------------------------------------
@@ -256,6 +310,22 @@ def np_quat_rotate(q, v):
 
 def np_pose_transform(qvec, tvec, pts):
     return np_quat_rotate(qvec, pts) + tvec
+
+
+def np_quat_mul(a, b):
+    """Numpy Hamilton product a * b of wxyz quaternions (batched)."""
+    import numpy as np
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
 
 
 def np_projection_center(qvec, tvec):

@@ -223,12 +223,29 @@ class Reconstruction:
             self.points3D[pid].error = float(mean[i])
 
     def transform(self, scale: float, qvec: np.ndarray, tvec: np.ndarray):
-        """Apply Sim(3) to the whole model in-place (new = s R old + t)."""
-        for pt in self.points3D.values():
-            pt.xyz = np.asarray(geom.sim3_transform(scale, qvec, tvec, pt.xyz))
-        for im in self.images.values():
-            q, t = geom.sim3_transform_pose(scale, qvec, tvec, im.qvec, im.tvec)
-            im.qvec, im.tvec = np.asarray(q), np.asarray(t)
+        """Apply Sim(3) to the whole model in-place (new = s R old + t).
+
+        Host numpy, batched over all points/images in two vector ops — a
+        per-point device dispatch here costs more than the whole merge."""
+        qvec = np.asarray(qvec, np.float64)
+        tvec = np.asarray(tvec, np.float64)
+        pts = list(self.points3D.values())
+        if pts:
+            xyz = np.stack([p.xyz for p in pts])
+            new = scale * geom.np_quat_rotate(qvec, xyz) + tvec
+            for p, x in zip(pts, new):
+                p.xyz = x
+        ims = list(self.images.values())
+        if ims:
+            # pose update (see geom.sim3_transform_pose):
+            # q' = q_cw * conj(q_s);  t' = s t_cw - R' t_s
+            q_cw = np.stack([im.qvec for im in ims])
+            t_cw = np.stack([im.tvec for im in ims])
+            qi = qvec * np.array([1.0, -1.0, -1.0, -1.0])
+            q_new = geom.np_quat_mul(q_cw, qi[None, :])
+            t_new = scale * t_cw - geom.np_quat_rotate(q_new, tvec[None, :])
+            for im, q, t in zip(ims, q_new, t_new):
+                im.qvec, im.tvec = q, t
 
     def copy(self) -> "Reconstruction":
         import copy as _copy

@@ -67,7 +67,7 @@ import functools
 def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                       init_sigma, peak_threshold, edge_threshold, upright):
     def run(imgs, vhws):
-        return jax.lax.map(
+        feats = jax.lax.map(
             lambda args: sift_ops.extract(
                 args[0], args[1],
                 max_features=max_num_features, num_octaves=num_octaves,
@@ -75,6 +75,12 @@ def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                 peak_threshold=peak_threshold, edge_threshold=edge_threshold,
                 upright=upright),
             (imgs, vhws))
+        # pack to TWO output buffers: each separate device->host array costs
+        # a full transfer round trip on high-latency links
+        meta = jnp.concatenate([
+            feats.xy, feats.scale[..., None], feats.ori[..., None],
+            feats.valid[..., None].astype(feats.xy.dtype)], axis=-1)
+        return meta, sift_ops.descriptors_to_uint8(feats.desc)
     return persistent_jit(run, salt=(max_num_features, num_octaves,
                                      scales_per_octave, init_sigma,
                                      peak_threshold, edge_threshold, upright))
@@ -97,9 +103,11 @@ def _match_all_fn(max_ratio, max_distance, cross_check):
     def run(d, v, ai, bi):
         def per_pair(args):
             a, b = args
-            return matching_ops.match_descriptors(
+            idx, ok = matching_ops.match_descriptors(
                 d[a], d[b], v[a], v[b], max_ratio=max_ratio,
                 max_distance=max_distance, cross_check=cross_check)
+            # single packed output (-1 = no match): one download round trip
+            return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ai, bi), 16)
     return persistent_jit(run, salt=(max_ratio, max_distance, cross_check))
 
@@ -109,10 +117,21 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials):
     def run(keys, uv1, uv2, vm, K1, K2):
         def per_pair(args):
             k, u1, u2, v, k1m, k2m = args
-            return tv_ops.estimate_two_view_geometry(
+            g = tv_ops.estimate_two_view_geometry(
                 k, u1, u2, v, k1m, k2m, calibrated=True,
                 max_error=max_error, min_num_inliers=min_num_inliers,
                 min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
+            # ONE packed f32 row per pair (a download per field costs a full
+            # round trip each): [:37] is exactly the stage's tvg_row layout
+            # [config, n_inl, tri_angle, qvec(4), tvec(3), E(9), F(9), H(9)],
+            # [37:] is the inlier mask
+            f32 = uv1.dtype if uv1.dtype == jnp.float32 else jnp.float32
+            return jnp.concatenate([
+                jnp.stack([g.config.astype(f32), g.num_inliers.astype(f32),
+                           g.tri_angle.astype(f32)]),
+                g.qvec.astype(f32), g.tvec.astype(f32),
+                g.E.ravel().astype(f32), g.F.ravel().astype(f32),
+                g.H.ravel().astype(f32), g.inlier_mask.astype(f32)])
         return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2), 8)
     return persistent_jit(run, salt=(max_error, min_num_inliers,
                                      min_inlier_ratio, num_trials))
@@ -123,10 +142,11 @@ def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
     def run(d, v, ar, br, uva, uvb, fs):
         def per_pair(args):
             a, b, ua, ub, f = args
-            return matching_ops.match_descriptors_guided(
+            idx, ok = matching_ops.match_descriptors_guided(
                 d[a], d[b], v[a], v[b], ua, ub, f,
                 max_epipolar_error=max_epipolar_error,
                 max_distance=max_distance, cross_check=cross_check)
+            return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ar, br, uva, uvb, fs), 16)
     return persistent_jit(run, salt=(max_epipolar_error, max_distance,
                                      cross_check))
@@ -251,16 +271,12 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 (batch_size - n,) + imgs.shape[1:], imgs.dtype)])
             vhws = np.concatenate([vhws, np.ones(
                 (batch_size - n, 2), vhws.dtype)])
-        feats = extract_batch(jnp.asarray(imgs), jnp.asarray(vhws))
-        f_xy = np.asarray(feats.xy)
-        f_scale = np.asarray(feats.scale)
-        f_ori = np.asarray(feats.ori)
-        f_valid = np.asarray(feats.valid)
-        f_desc = np.asarray(sift_ops.descriptors_to_uint8(feats.desc))
+        meta_dev, desc_dev = extract_batch(jnp.asarray(imgs), jnp.asarray(vhws))
+        f_meta = np.asarray(meta_dev)   # (B, K, 5): x, y, scale, ori, valid
+        f_desc = np.asarray(desc_dev)
         for b, item in enumerate(items):
-            valid = f_valid[b]
-            kp = np.stack([f_xy[b][:, 0], f_xy[b][:, 1], f_scale[b],
-                           f_ori[b]], axis=1)[valid]
+            valid = f_meta[b, :, 4] > 0.5
+            kp = f_meta[b, :, :4][valid]
             desc = f_desc[b][valid]
             # camera at EXTRACTION resolution (like the reference, which
             # builds it from the resized bitmap — extraction_op.cc:43-64)
@@ -349,15 +365,13 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         ai[n], bi[n] = a, b
 
     match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check)
-    idx_all, ok_all = match_all(jnp.asarray(D), jnp.asarray(V),
-                                jnp.asarray(ai), jnp.asarray(bi))
-    idx_all = np.asarray(idx_all)  # (NP1, K_max)
-    ok_all = np.asarray(ok_all)
+    idx_all = np.asarray(match_all(jnp.asarray(D), jnp.asarray(V),
+                                   jnp.asarray(ai), jnp.asarray(bi)))
 
     # ---- phase 2: collect candidate pairs (host) -------------------------
     cand = []  # (ia, ib, sel, idx_row)
     for n, (a, b) in enumerate(sched):
-        sel = np.nonzero(ok_all[n])[0]
+        sel = np.nonzero(idx_all[n] >= 0)[0]
         if len(sel) >= m.min_num_inliers:
             cand.append((image_ids[a], image_ids[b], sel, idx_all[n]))
 
@@ -387,26 +401,23 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         verify_all = _verify_all_fn(m.max_error, m.min_num_inliers,
                                     m.min_inlier_ratio,
                                     min(m.max_num_trials, 1024))
-        tvg = verify_all(keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
-                         jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p))
-        tvg = jax.tree.map(np.asarray, tvg)
+        packed = np.asarray(verify_all(
+            keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
+            jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p)))
 
         for n, (ia, ib, sel, idx_row) in enumerate(cand):
-            cfg_id = int(tvg.config[n])
-            n_inl = int(tvg.num_inliers[n])
+            cfg_id = int(packed[n, 0])
+            n_inl = int(packed[n, 1])
             if cfg_id in (tv_ops.DEGENERATE, tv_ops.UNDEFINED) \
                     or n_inl < m.min_num_inliers:
                 # reference zeroes weak TVGs instead of dropping the pair
                 # (sequential_matching.cc:164-178); we drop — cleaner contract
                 continue
             k_n = min(len(sel), P)
-            inl = tvg.inlier_mask[n][:k_n]
+            inl = packed[n, 37:37 + k_n] > 0.5
             pairs = np.stack([sel[:k_n][inl], idx_row[sel[:k_n][inl]]], axis=1)
             pair_ids.append((ia, ib))
-            tvg_rows.append(np.concatenate([
-                [cfg_id, n_inl, float(tvg.tri_angle[n])],
-                tvg.qvec[n], tvg.tvec[n],
-                tvg.E[n].ravel(), tvg.F[n].ravel(), tvg.H[n].ravel()]))
+            tvg_rows.append(packed[n, :37].astype(np.float64))
             match_lists.append(pairs.astype(np.int32))
 
         if m.guided_matching and pair_ids:
@@ -445,15 +456,13 @@ def _guided_rematch(m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists):
         uv_b[n, :len(kp[ib])] = kp[ib][:, :2]
 
     guided_all = _guided_all_fn(m.max_error, m.max_distance, m.cross_check)
-    idx_g, ok_g = guided_all(jnp.asarray(D), jnp.asarray(V),
-                             jnp.asarray(a_rows), jnp.asarray(b_rows),
-                             jnp.asarray(uv_a), jnp.asarray(uv_b),
-                             jnp.asarray(Fs))
-    idx_g = np.asarray(idx_g)
-    ok_g = np.asarray(ok_g)
+    idx_g = np.asarray(guided_all(jnp.asarray(D), jnp.asarray(V),
+                                  jnp.asarray(a_rows), jnp.asarray(b_rows),
+                                  jnp.asarray(uv_a), jnp.asarray(uv_b),
+                                  jnp.asarray(Fs)))
     out = []
     for n, (ia, ib) in enumerate(pair_ids):
-        sel = np.nonzero(ok_g[n][:len(kp[ia])])[0]
+        sel = np.nonzero(idx_g[n][:len(kp[ia])] >= 0)[0]
         pairs = np.stack([sel, idx_g[n][sel]], axis=1).astype(np.int32)
         # keep the larger of (original inliers, guided matches)
         out.append(pairs if len(pairs) >= len(match_lists[n])

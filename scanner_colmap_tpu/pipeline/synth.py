@@ -139,8 +139,6 @@ def load_ground_truth(image_dir: str):
 def evaluate_ate(rec, gt, id_order=None):
     """RMS absolute trajectory error after Sim(3) alignment (the eval the
     driver's north star asks for: ATE vs reference trajectories)."""
-    import jax.numpy as jnp
-
     est, ref = [], []
     for iid in rec.registered_image_ids:
         est.append(rec.images[iid].projection_center())
@@ -149,9 +147,9 @@ def evaluate_ate(rec, gt, id_order=None):
     if len(est) < 3:
         return float("inf")
     est, ref = np.stack(est), np.stack(ref)
-    s, q, t = geom.umeyama_alignment(jnp.asarray(est), jnp.asarray(ref))
-    aligned = np.asarray(geom.sim3_transform(float(s), np.asarray(q),
-                                             np.asarray(t), est))
+    # host numpy: evaluation-only, and the image count varies per call
+    s, q, t = geom.np_umeyama_alignment(est, ref)
+    aligned = s * geom.np_quat_rotate(q, est) + t
     return float(np.sqrt(np.mean(np.sum((aligned - ref) ** 2, axis=-1))))
 
 

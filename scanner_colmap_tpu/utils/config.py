@@ -70,6 +70,9 @@ class MapperConfig:
     min_tri_angle_deg: float = 1.5      # triangulation filter
     filter_max_reproj_error: float = 4.0
     max_reg_trials: int = 3
+    cluster_workers: int = 4            # concurrent cluster control planes
+                                        # (device compute still serializes;
+                                        # this overlaps host<->device latency)
     # intrinsic-prior strength in BA (pulls focal to its init and k1 to 0;
     # breaks the per-image focal/depth near-degeneracy on weak-parallax data)
     intr_prior_weight_f: float = 300.0
