@@ -447,3 +447,49 @@ def estimate_two_view_geometry(
         inlier_mask=inlier_mask,
         num_inliers=jnp.where(enough, n_epi, 0).astype(jnp.int32),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_trials", "calibrated", "max_models"),
+)
+def estimate_two_view_geometry_multiple(
+    key,
+    x1, x2,            # (N, 2) pixel coords of matched keypoints
+    valid,             # (N,) bool
+    K1, K2,            # (3, 3) calibration matrices
+    calibrated: bool = True,
+    max_error: float = 4.0,
+    min_num_inliers: int = 15,
+    min_inlier_ratio: float = 0.25,
+    num_trials: int = 512,
+    max_models: int = 3,
+) -> TwoViewGeometry:
+    """COLMAP ``TwoViewGeometry::EstimateMultiple`` semantics (the
+    reference's multiple_models flag, sequential_matching.cc:94-100 +
+    colmap.proto:38): greedily estimate a geometry, remove its inliers,
+    re-estimate on the remainder, up to ``max_models`` rounds.
+
+    TPU-native form: a lax.scan of the single-model estimator with a
+    shrinking validity mask — fixed trip count, masked convergence. Returns
+    a TwoViewGeometry pytree with a leading ``max_models`` axis; round r is
+    meaningful where ``num_inliers[r] > 0``. If >= 2 rounds found support,
+    callers should treat the pair's config as MULTIPLE (COLMAP behavior).
+    """
+    def round_fn(carry, k):
+        remaining = carry
+        g = estimate_two_view_geometry(
+            k, x1, x2, remaining, K1, K2, calibrated=calibrated,
+            max_error=max_error, min_num_inliers=min_num_inliers,
+            min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
+        found = g.num_inliers >= min_num_inliers
+        # zero out failed rounds so downstream sees a clean miss
+        g = g._replace(
+            inlier_mask=g.inlier_mask & found,
+            num_inliers=jnp.where(found, g.num_inliers, 0),
+            config=jnp.where(found, g.config, DEGENERATE).astype(jnp.int32))
+        return remaining & ~g.inlier_mask, g
+
+    keys = jax.random.split(key, max_models)
+    _, models = jax.lax.scan(round_fn, valid, keys)
+    return models

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     mg = sub.add_parser("merge_mapping", help="stage 5: merge submodels")
     mg.add_argument("--export_path", help="COLMAP-binary export directory")
 
+    ud = sub.add_parser("undistort",
+                        help="stage 5b: undistort registered images to "
+                             "pinhole (dense-ready workspace)")
+    ud.add_argument("--output_path", help="workspace dir (default "
+                                          "<store>/undistorted)")
+
     sub.add_parser("prepare_patch_match", help="stage 6: MVS problem prep")
 
     pm = sub.add_parser("patch_match", help="stage 7: PatchMatch depth/normals")
@@ -131,6 +137,8 @@ def main(argv=None):
         stages.run_mapping(cfg, store)
     elif args.stage == "merge_mapping":
         stages.run_merge(cfg, store, export_path=args.export_path)
+    elif args.stage == "undistort":
+        stages.run_undistort(cfg, store, output_path=args.output_path)
     elif args.stage == "prepare_patch_match":
         stages.run_prepare_patch_match(cfg, store)
     elif args.stage == "patch_match":

@@ -112,29 +112,42 @@ def _match_all_fn(max_ratio, max_distance, cross_check):
     return persistent_jit(run, salt=(max_ratio, max_distance, cross_check))
 
 
+def _pack_tvg(g, dtype=jnp.float32):
+    """ONE packed f32 row per geometry (a download per field costs a full
+    round trip each): [:37] is exactly the stage's tvg_row layout
+    [config, n_inl, tri_angle, qvec(4), tvec(3), E(9), F(9), H(9)],
+    [37:] is the inlier mask."""
+    return jnp.concatenate([
+        jnp.stack([g.config.astype(dtype), g.num_inliers.astype(dtype),
+                   g.tri_angle.astype(dtype)]),
+        g.qvec.astype(dtype), g.tvec.astype(dtype),
+        g.E.ravel().astype(dtype), g.F.ravel().astype(dtype),
+        g.H.ravel().astype(dtype), g.inlier_mask.astype(dtype)], axis=-1)
+
+
 @functools.lru_cache(maxsize=8)
-def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials):
+def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials,
+                   max_models=1):
     def run(keys, uv1, uv2, vm, K1, K2):
         def per_pair(args):
             k, u1, u2, v, k1m, k2m = args
+            if max_models > 1:
+                # COLMAP EstimateMultiple (reference multiple_models flag):
+                # rows = models found by greedy inlier removal
+                g = tv_ops.estimate_two_view_geometry_multiple(
+                    k, u1, u2, v, k1m, k2m, calibrated=True,
+                    max_error=max_error, min_num_inliers=min_num_inliers,
+                    min_inlier_ratio=min_inlier_ratio, num_trials=num_trials,
+                    max_models=max_models)
+                return jax.vmap(_pack_tvg)(g)
             g = tv_ops.estimate_two_view_geometry(
                 k, u1, u2, v, k1m, k2m, calibrated=True,
                 max_error=max_error, min_num_inliers=min_num_inliers,
                 min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
-            # ONE packed f32 row per pair (a download per field costs a full
-            # round trip each): [:37] is exactly the stage's tvg_row layout
-            # [config, n_inl, tri_angle, qvec(4), tvec(3), E(9), F(9), H(9)],
-            # [37:] is the inlier mask
-            f32 = uv1.dtype if uv1.dtype == jnp.float32 else jnp.float32
-            return jnp.concatenate([
-                jnp.stack([g.config.astype(f32), g.num_inliers.astype(f32),
-                           g.tri_angle.astype(f32)]),
-                g.qvec.astype(f32), g.tvec.astype(f32),
-                g.E.ravel().astype(f32), g.F.ravel().astype(f32),
-                g.H.ravel().astype(f32), g.inlier_mask.astype(f32)])
+            return _pack_tvg(g)[None]  # (1, 37+P)
         return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2), 8)
     return persistent_jit(run, salt=(max_error, min_num_inliers,
-                                     min_inlier_ratio, num_trials))
+                                     min_inlier_ratio, num_trials, max_models))
 
 
 @functools.lru_cache(maxsize=8)
@@ -398,27 +411,34 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             K1p[n] = _cam_K(cameras[ia])
             K2p[n] = _cam_K(cameras[ib])
         keys = jax.random.split(key, NP)
+        n_models = 3 if m.multiple_models else 1
         verify_all = _verify_all_fn(m.max_error, m.min_num_inliers,
                                     m.min_inlier_ratio,
-                                    min(m.max_num_trials, 1024))
+                                    min(m.max_num_trials, 1024),
+                                    max_models=n_models)
         packed = np.asarray(verify_all(
             keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
             jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p)))
 
         for n, (ia, ib, sel, idx_row) in enumerate(cand):
-            cfg_id = int(packed[n, 0])
-            n_inl = int(packed[n, 1])
-            if cfg_id in (tv_ops.DEGENERATE, tv_ops.UNDEFINED) \
-                    or n_inl < m.min_num_inliers:
-                # reference zeroes weak TVGs instead of dropping the pair
-                # (sequential_matching.cc:164-178); we drop — cleaner contract
-                continue
-            k_n = min(len(sel), P)
-            inl = packed[n, 37:37 + k_n] > 0.5
-            pairs = np.stack([sel[:k_n][inl], idx_row[sel[:k_n][inl]]], axis=1)
-            pair_ids.append((ia, ib))
-            tvg_rows.append(packed[n, :37].astype(np.float64))
-            match_lists.append(pairs.astype(np.int32))
+            # one table row per model found (the reference serializes a
+            # vector<TVG> per pair, io.cc:224-304); single-model runs have
+            # exactly one row. Extra models' configs become MULTIPLE.
+            found = [r for r in range(n_models)
+                     if int(packed[n, r, 0]) not in (tv_ops.DEGENERATE,
+                                                     tv_ops.UNDEFINED)
+                     and int(packed[n, r, 1]) >= m.min_num_inliers]
+            for r in found:
+                row = packed[n, r, :37].astype(np.float64)
+                if len(found) > 1:
+                    row[0] = tv_ops.MULTIPLE
+                k_n = min(len(sel), P)
+                inl = packed[n, r, 37:37 + k_n] > 0.5
+                pairs = np.stack([sel[:k_n][inl],
+                                  idx_row[sel[:k_n][inl]]], axis=1)
+                pair_ids.append((ia, ib))
+                tvg_rows.append(row)
+                match_lists.append(pairs.astype(np.int32))
 
         if m.guided_matching and pair_ids:
             match_lists = _guided_rematch(
@@ -486,11 +506,21 @@ def _build_graph(store: ArtifactStore, kp: Dict[int, np.ndarray]):
         graph.add_image(iid, len(k))
     two_view = {}
     pair_ids = np.asarray(mt["pair_image_ids"]).reshape(-1, 2)
+    # group rows by pair: multiple_models emits one row per model
+    # (vector<TVG> per pair in the reference, io.cc:224-304)
+    by_pair: Dict[tuple, list] = {}
     for n in range(len(pair_ids)):
-        i, j = int(pair_ids[n][0]), int(pair_ids[n][1])
-        row = np.asarray(mt["two_view_geometry"][n])
-        pairs = np.asarray(mt["matches"][n])
-        graph.add_matches(i, j, pairs)
+        by_pair.setdefault((int(pair_ids[n][0]), int(pair_ids[n][1])),
+                           []).append(n)
+    for (i, j), rows in by_pair.items():
+        all_pairs = np.concatenate(
+            [np.asarray(mt["matches"][n]).reshape(-1, 2) for n in rows])
+        if len(rows) > 1:
+            all_pairs = np.unique(all_pairs, axis=0)
+        graph.add_matches(i, j, all_pairs)
+        # pose/config from the strongest model
+        best = max(rows, key=lambda n: mt["two_view_geometry"][n][1])
+        row = np.asarray(mt["two_view_geometry"][best])
         lo, hi = min(i, j), max(i, j)
         if i > j:
             q, t = geom.pose_inverse(row[3:7], row[7:10])
@@ -569,6 +599,117 @@ def load_model(store: ArtifactStore) -> Reconstruction:
     tab = store.read_table("models")
     return colmap_io.model_from_bytes(
         tab["cameras"][0], tab["images"][0], tab["points3d"][0])
+
+
+# ---------------------------------------------------------------------------
+# stage 5b: undistortion (optional; COLMAP image_undistorter equivalent)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=2)
+def _undistort_batch_fn():
+    from scanner_colmap_tpu.ops import undistort as ud_ops
+
+    def run(imgs, model_ids, params, new_params):
+        out, _ = jax.vmap(ud_ops.undistort_image)(imgs, model_ids, params,
+                                                  new_params)
+        # ONE uint8 download instead of a float map per image
+        return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    return persistent_jit(run)
+
+
+def run_undistort(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                  output_path: Optional[str] = None):
+    """Undistort every registered image to an ideal pinhole camera and export
+    a dense-ready workspace (undistorted images + pinhole model).
+
+    The reference intended this as a per-image COLMAP ``UndistortImage``
+    kernel but never finished it (/root/reference/integration/op_cpp/
+    undistort_image.cc — incomplete, wrong op registration, unbuilt; SURVEY
+    §8.3). Capability rebuilt: batched inverse-map remap on device
+    (ops/undistort.py), COLMAP-binary export of the pinhole model.
+    """
+    from PIL import Image as PILImage
+
+    from scanner_colmap_tpu.ops import undistort as ud_ops
+
+    store = store or ArtifactStore(cfg.store_path)
+    model = load_model(store)
+    frames = store.read_table("frames")
+    paths = {int(i): p.decode() for i, p in zip(frames["image_id"],
+                                                frames["path"])}
+    # NB: not "<root>/undistorted" — that path is the stage's TABLE dir,
+    # which write_table atomically replaces
+    out_root = output_path or os.path.join(store.root, "undistort_ws")
+    img_dir = os.path.join(out_root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    reg = sorted(model.registered_image_ids)
+    if not reg:
+        store.write_table("undistorted", {
+            "image_id": np.zeros(0, np.int64), "path": [],
+            "new_params": np.zeros((0, 4), np.float64)},
+            meta={"stage": "undistort"})
+        return 0
+    canvas = (_round_up(cfg.sift.max_image_size, 32),) * 2
+    new_model = model.copy()
+
+    batch, meta_rows = [], []
+    out_paths, out_ids, out_params = [], [], []
+
+    def flush():
+        if not batch:
+            return
+        n = len(batch)
+        imgs = np.stack([b[0] for b in batch])
+        mids = np.asarray([b[1] for b in batch], np.int32)
+        prms = np.stack([b[2] for b in batch])
+        nprm = np.stack([b[3] for b in batch])
+        out = np.asarray(_undistort_batch_fn()(
+            jnp.asarray(imgs), jnp.asarray(mids), jnp.asarray(prms),
+            jnp.asarray(nprm)))
+        for k in range(n):
+            iid, h, w = meta_rows[k]
+            p = os.path.join(img_dir, f"image_{iid:06d}.png")
+            PILImage.fromarray(out[k][:h, :w]).save(p)
+            out_paths.append(p.encode())
+            out_ids.append(iid)
+            out_params.append(nprm[k])
+        batch.clear()
+        meta_rows.clear()
+
+    for iid in reg:
+        im = model.images[iid]
+        cam = model.cameras[im.camera_id]
+        item = image_ops.load_for_extraction(paths[iid],
+                                             cfg.sift.max_image_size, canvas)
+        # params live at extraction resolution; rescale to THIS load's scale
+        s = item["scale"] / cam_scale_of(store, iid)
+        scaled = np.asarray(cam.params_padded, np.float64).copy()
+        n_f = 1 if cam.model_id in (camlib.SIMPLE_PINHOLE, camlib.SIMPLE_RADIAL,
+                                    camlib.RADIAL) else 2
+        scaled[:n_f + 2] *= s  # focal(s) + principal point scale together
+        new_p = ud_ops.undistorted_pinhole_params(cam.model_id, scaled)
+        h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
+        batch.append((item["image"].astype(np.float32), cam.model_id,
+                      scaled, new_p))
+        meta_rows.append((iid, h, w))
+        # pinhole camera in the exported model (per image: undistortion
+        # resolution may differ per image)
+        new_model.cameras[im.camera_id] = type(cam)(
+            cam.camera_id, camlib.PINHOLE, w, h,
+            np.asarray(new_p, np.float64), cam.prior_focal)
+        if len(batch) >= 8:
+            flush()
+    flush()
+
+    colmap_io.write_model(new_model, os.path.join(out_root, "sparse"))
+    store.write_table("undistorted", {
+        "image_id": np.asarray(out_ids, np.int64),
+        "path": out_paths,
+        "new_params": np.stack(out_params),
+    }, meta={"stage": "undistort", "output_path": out_root})
+    log.info("undistort: %d images -> %s", len(out_ids), out_root)
+    return len(out_ids)
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,42 @@ def test_dense_pipeline_e2e(cfg, dataset):
     # fused points near the blob field depth range (z in [depth0 +- spread],
     # scene scale recovered by SfM is arbitrary -> compare relative spread)
     assert np.isfinite(xyz).all()
+
+
+def test_undistort_stage(cfg, dataset):
+    """Stage 5b: undistorted workspace (images + pinhole model export)."""
+    import os
+
+    from scanner_colmap_tpu.utils import colmap_io
+    from scanner_colmap_tpu.models import cameras as camlib
+
+    store = ArtifactStore(cfg.store_path)
+    if not store.has_table("models"):
+        pytest.skip("sparse stage not run")
+    n = stages.run_undistort(cfg, store)
+    assert n >= 6
+    tab = store.read_table("undistorted")
+    assert len(tab["image_id"]) == n
+    for p in tab["path"]:
+        assert os.path.exists(p.decode())
+    m = colmap_io.read_model(os.path.join(store.root, "undistort_ws", "sparse"))
+    assert all(c.model_id == camlib.PINHOLE for c in m.cameras.values())
+
+
+def test_matching_multiple_models(cfg, dataset):
+    """multiple_models flag: pipeline still verifies pairs; rows may repeat
+    per pair (vector<TVG> parity) and the graph groups them."""
+    import copy
+
+    store = ArtifactStore(cfg.store_path)
+    if not store.has_table("extraction"):
+        pytest.skip("extraction not run")
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.matching.multiple_models = True
+    n_pairs = stages.run_matching(cfg2, store)
+    assert n_pairs >= 8
+    ids, kp, desc, cams = stages._load_extraction(store)
+    graph, two_view = stages._build_graph(store, kp)
+    assert len(two_view) >= 8
+    # restore single-model matching table for later tests in this module
+    stages.run_matching(cfg, store)

@@ -116,3 +116,38 @@ def test_estimate_two_view_geometry_degenerate(rng):
         jnp.asarray(K), jnp.asarray(K), calibrated=True)
     assert int(tvg.config) == two_view.DEGENERATE
     assert int(tvg.num_inliers) == 0
+
+
+def test_estimate_multiple_two_motions(rng):
+    """Two independent rigid motions in one match set (EstimateMultiple
+    semantics, reference multiple_models flag colmap.proto:38): the greedy
+    multi-model estimator should find both, with disjoint inlier sets."""
+    uv1_a, uv2_a, K, _, _, _ = synthetic_pair(rng, n=120, noise=0.1)
+    # second motion: a different pose acting on different points
+    aa = rng.normal(size=3) * 0.1 + 0.3
+    q_b = np.asarray(geom.angle_axis_to_quat(aa))
+    t_b = np.array([-0.5, 0.8, 0.2])
+    t_b /= np.linalg.norm(t_b)
+    pts = np.stack([rng.uniform(-1, 1, 80), rng.uniform(-1, 1, 80),
+                    rng.uniform(3, 8, 80)], axis=1)
+    focal = K[0, 0]
+    x2c = np.asarray(geom.pose_transform(q_b, t_b, pts))
+    uv1_b = (pts[:, :2] / pts[:, 2:3]) * focal + K[:2, 2]
+    uv2_b = (x2c[:, :2] / x2c[:, 2:3]) * focal + K[:2, 2]
+    uv1 = np.concatenate([uv1_a, uv1_b])
+    uv2 = np.concatenate([uv2_a, uv2_b])
+    valid = np.ones(len(uv1), bool)
+
+    models = two_view.estimate_two_view_geometry_multiple(
+        jax.random.PRNGKey(3), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.asarray(valid), jnp.asarray(K), jnp.asarray(K),
+        max_error=2.0, min_num_inliers=15, min_inlier_ratio=0.1,
+        num_trials=512, max_models=3)
+    n_inl = np.asarray(models.num_inliers)
+    masks = np.asarray(models.inlier_mask)
+    found = n_inl > 0
+    assert found.sum() >= 2, f"expected >=2 models, got {n_inl}"
+    # inlier sets of distinct rounds are disjoint by construction
+    assert not np.any(masks[0] & masks[1])
+    # first model should dominate the larger motion group (120 pts)
+    assert n_inl[0] >= 60
