@@ -79,9 +79,18 @@ def plane_costs(
     window_step: int = 1,
     sigma_spatial: float = 3.0,
     sigma_color: float = 0.2,
+    src_depths: jax.Array | None = None,  # (S, H, W) for geom consistency
+    geom_weight: float = 0.3,
+    max_geom_error: float = 3.0,
 ):
     """Bilateral-NCC matching cost of a (depth, normal) field. Returns
-    (H, W) aggregated cost in [0, 2] (lower better)."""
+    (H, W) aggregated cost in [0, 2] (lower better).
+
+    With ``src_depths`` (COLMAP geom_consistency, second PatchMatch pass):
+    per source view the cost gains ``geom_weight * min(err_fb,
+    max_geom_error)`` where err_fb is the forward-backward reprojection
+    error — ref pixel -> src at the candidate depth, back-projected through
+    the source's own depth map, reprojected into ref (px)."""
     H, W = problem.ref_image.shape
     S = problem.src_images.shape[0]
     dtype = problem.ref_image.dtype
@@ -167,6 +176,30 @@ def plane_costs(
     (sum_w, sum_r, sum_s, sum_rr, sum_ss, sum_rs), _ = jax.lax.scan(
         window_step, (zeros,) * 6, (du, dv, w_sp))
 
+    geom_cost = None
+    if src_depths is not None:
+        # center-pixel forward-backward consistency per source view
+        X = jnp.stack([xn * depth, yn * depth, depth], axis=-1)  # (H, W, 3)
+        Xs = jnp.einsum("sij,hwj->shwi", Rm, X) + tm[:, None, None, :]
+        zs_ = jnp.where(jnp.abs(Xs[..., 2]) < 1e-9, 1e-9, Xs[..., 2])
+        px = Ks[:, 0, 0][:, None, None] * (Xs[..., 0] / zs_) \
+            + Ks[:, 0, 2][:, None, None]
+        py = Ks[:, 1, 1][:, None, None] * (Xs[..., 1] / zs_) \
+            + Ks[:, 1, 2][:, None, None]
+        d_src, d_inb = jax.vmap(_bilinear)(src_depths.astype(dtype), px, py)
+        # back-project through the source's depth, return to ref camera
+        sxn = (px - Ks[:, 0, 2][:, None, None]) / Ks[:, 0, 0][:, None, None]
+        syn = (py - Ks[:, 1, 2][:, None, None]) / Ks[:, 1, 1][:, None, None]
+        Xs2 = jnp.stack([sxn * d_src, syn * d_src, d_src], axis=-1)
+        Xr = jnp.einsum("sji,shwj->shwi", Rm, Xs2 - tm[:, None, None, :])
+        zr = jnp.where(jnp.abs(Xr[..., 2]) < 1e-9, 1e-9, Xr[..., 2])
+        bx = fx * (Xr[..., 0] / zr) + cx
+        by = fy * (Xr[..., 1] / zr) + cy
+        err = jnp.hypot(bx - xx[None], by - yy[None])
+        ok = d_inb & (d_src > 1e-6) & (zs_ > 1e-9) & (zr > 1e-9)
+        geom_cost = geom_weight * jnp.where(
+            ok, jnp.minimum(err, max_geom_error), max_geom_error)
+
     eps = 1e-6
     wsafe = jnp.maximum(sum_w, eps)
     mr = sum_r / wsafe
@@ -176,9 +209,12 @@ def plane_costs(
     cov = sum_rs / wsafe - mr * ms
     ncc = cov / jnp.sqrt(jnp.maximum(var_r * var_s, eps * eps))
     cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)  # (S, H, W) in [0, 2]
+    bad = 2.0 if geom_cost is None else 2.0 + geom_weight * max_geom_error
+    if geom_cost is not None:
+        cost = cost + geom_cost
     # low-support windows are unreliable
-    cost = jnp.where(sum_w > 0.1 * nw, cost, 2.0)
-    cost = jnp.where(problem.src_valid[:, None, None], cost, 2.0)
+    cost = jnp.where(sum_w > 0.1 * nw, cost, bad)
+    cost = jnp.where(problem.src_valid[:, None, None], cost, bad)
 
     # aggregate: mean of best half of valid sources
     k = max(1, S // 2)
@@ -204,6 +240,11 @@ def patch_match(
     window_step: int = 1,
     sigma_spatial: float = 3.0,
     sigma_color: float = 0.2,
+    src_depths: jax.Array | None = None,   # (S, H, W): geom-consistency pass
+    geom_weight: float = 0.3,
+    max_geom_error: float = 3.0,
+    init_depth: jax.Array | None = None,   # (H, W) warm start (pass 1 result)
+    init_normal: jax.Array | None = None,  # (H, W, 3)
 ) -> tuple:
     """Estimate (depth (H,W), normal (H,W,3), cost (H,W)) for the ref view."""
     H, W = problem.ref_image.shape
@@ -211,12 +252,16 @@ def patch_match(
     dmin, dmax = problem.depth_min, problem.depth_max
 
     k0, k1, key = jax.random.split(key, 3)
-    depth = jax.random.uniform(k0, (H, W), dtype, dmin, dmax)
-    normal = _random_normals(k1, (H, W), dtype)
+    depth = (init_depth.astype(dtype) if init_depth is not None
+             else jax.random.uniform(k0, (H, W), dtype, dmin, dmax))
+    normal = (init_normal.astype(dtype) if init_normal is not None
+              else _random_normals(k1, (H, W), dtype))
 
     def cost_of(d, n):
         return plane_costs(problem, d, n, window_radius, window_step,
-                           sigma_spatial, sigma_color)
+                           sigma_spatial, sigma_color,
+                           src_depths=src_depths, geom_weight=geom_weight,
+                           max_geom_error=max_geom_error)
 
     cost = cost_of(depth, normal)
 

@@ -809,15 +809,19 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
     Tm = np.asarray(tab["T"]).reshape(n, 3)
     Km = np.asarray(tab["K"]).reshape(n, 3, 3)
 
-    depth_maps, normal_maps, cost_maps, out_ids = [], [], [], []
     S = pm.overlap
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    for ref in range(n):
+
+    def window(ref):
         # source views: the stencil window around ref (reference uses the
         # next `overlap` rows; symmetric is strictly better)
-        srcs = [s for s in range(max(0, ref - S // 2), min(n, ref + S // 2 + S % 2 + 1))
+        return [s for s in range(max(0, ref - S // 2),
+                                 min(n, ref + S // 2 + S % 2 + 1))
                 if s != ref][:S]
+
+    def build_problem(ref):
+        srcs = window(ref)
         src_imgs = np.zeros((S, canvas_h, canvas_w), np.float32)
         Ks = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
         Rs = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
@@ -838,8 +842,7 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         ref_bm = np.asarray(tab["bitmap"][ref])[:h_r, :w_r]
         ref_img = np.zeros((canvas_h, canvas_w), np.float32)
         ref_img[:ref_bm.shape[0], :ref_bm.shape[1]] = ref_bm
-
-        problem = pm_ops.PatchMatchProblem(
+        return pm_ops.PatchMatchProblem(
             ref_image=jnp.asarray(ref_img),
             src_images=jnp.asarray(src_imgs),
             K_ref=jnp.asarray(Km[ref]),
@@ -848,19 +851,58 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             depth_min=jnp.asarray(np.float32(tab["depth_min"][ref])),
             depth_max=jnp.asarray(np.float32(tab["depth_max"][ref])),
             src_valid=jnp.asarray(src_valid))
-        key, k = jax.random.split(key)
-        try:
-            depth, normal, cost = pm_ops.patch_match(
-                k, problem, num_iterations=pm.num_iterations,
-                window_radius=pm.window_radius,
-                sigma_spatial=pm.sigma_spatial, sigma_color=pm.sigma_color)
-        except Exception as e:  # per-image tolerance like patch_match.cc:108-114
-            log.warning("patch_match failed for image %d: %s", ref, e)
+
+    def run_pass(depth_bank=None, normal_bank=None, cost_bank=None):
+        """One sweep over all ref images. With banks (canvas-res pass-1
+        results), runs the geom-consistency pass: source depth maps feed
+        the forward-backward term, pass-1 depth/normal warm-start."""
+        nonlocal key
+        d_out = [None] * n
+        n_out = [None] * n
+        c_out = [None] * n
+        for ref in range(n):
+            kwargs = {}
+            if depth_bank is not None:
+                if depth_bank[ref] is None:
+                    continue
+                src_d = np.zeros((S, canvas_h, canvas_w), np.float32)
+                for si, s in enumerate(window(ref)):
+                    if depth_bank[s] is not None:
+                        src_d[si] = depth_bank[s]
+                kwargs = dict(src_depths=jnp.asarray(src_d),
+                              geom_weight=pm.geom_weight,
+                              max_geom_error=pm.max_geom_error,
+                              init_depth=jnp.asarray(depth_bank[ref]),
+                              init_normal=jnp.asarray(normal_bank[ref]))
+            problem = build_problem(ref)
+            key, k = jax.random.split(key)
+            try:
+                depth, normal, cost = pm_ops.patch_match(
+                    k, problem, num_iterations=pm.num_iterations,
+                    window_radius=pm.window_radius,
+                    sigma_spatial=pm.sigma_spatial,
+                    sigma_color=pm.sigma_color, **kwargs)
+            except Exception as e:  # per-image tolerance, patch_match.cc:108-114
+                log.warning("patch_match failed for image %d: %s", ref, e)
+                continue
+            d_out[ref] = np.asarray(depth).astype(np.float32)
+            n_out[ref] = np.asarray(normal).astype(np.float32)
+            c_out[ref] = np.asarray(cost).astype(np.float32)
+        return d_out, n_out, c_out
+
+    d_bank, n_bank, c_bank = run_pass()
+    if pm.geom_consistency:
+        # COLMAP's second PatchMatch pass: photometric + geometric cost
+        d_bank, n_bank, c_bank = run_pass(d_bank, n_bank, c_bank)
+
+    depth_maps, normal_maps, cost_maps, out_ids = [], [], [], []
+    for ref in range(n):
+        if d_bank[ref] is None:
             continue
         h, w = int(tab["height"][ref]), int(tab["width"][ref])
-        depth_maps.append(np.asarray(depth)[:h, :w].astype(np.float32))
-        normal_maps.append(np.asarray(normal)[:h, :w].astype(np.float32))
-        cost_maps.append(np.asarray(cost)[:h, :w].astype(np.float32))
+        depth_maps.append(d_bank[ref][:h, :w])
+        normal_maps.append(n_bank[ref][:h, :w])
+        cost_maps.append(c_bank[ref][:h, :w])
         out_ids.append(int(tab["image_id"][ref]))
     store.write_table("patch_match", {
         "image_id": np.asarray(out_ids, np.int64),
@@ -916,7 +958,12 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         depths[n, :h, :w] = d
         normals[n, :h, :w] = nm
         colors[n, :h, :w] = bm[:h, :w, None]
-        valid[n, :h, :w] = c < (2.0 - cfg.patch_match.filter_min_ncc)
+        # geom-consistency runs carry the fb-error term in the cost; allow
+        # a 1 px mean forward-backward error on top of the NCC threshold
+        thr = 2.0 - cfg.patch_match.filter_min_ncc
+        if cfg.patch_match.geom_consistency:
+            thr += cfg.patch_match.geom_weight
+        valid[n, :h, :w] = c < thr
         Rm = np.asarray(prep["R"][pidx]).reshape(3, 3)
         qvecs[n] = np.asarray(geom.rotmat_to_quat(Rm))
         tvecs[n] = prep["T"][pidx]

@@ -113,7 +113,11 @@ class PatchMatchConfig:
     depth_min_factor: float = 0.75      # widen sparse depth range like COLMAP
     depth_max_factor: float = 1.25
     max_image_size: int = 400
-    geom_consistency: bool = False      # ref disables (patch_match.cc:84)
+    geom_consistency: bool = False      # ref disables (patch_match.cc:84);
+                                        # ON = COLMAP's second pass with
+                                        # forward-backward depth consistency
+    geom_weight: float = 0.3            # COLMAP geom_consistency_regularizer
+    max_geom_error: float = 3.0         # COLMAP geom_consistency_max_cost (px)
     filter_min_ncc: float = 0.1
 
 

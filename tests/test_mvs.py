@@ -170,3 +170,33 @@ def test_write_ply_roundtrip(tmp_path, rng):
         [("xyz", "<f4", 3), ("rgb", "u1", 3)]))
     assert np.allclose(body["xyz"], xyz)
     assert np.array_equal(body["rgb"], rgb)
+
+
+def test_patch_match_geom_consistency_pass(rng):
+    """Second pass with forward-backward depth consistency (COLMAP
+    geom_consistency): warm-started from pass 1, must keep or improve
+    depth accuracy, and its cost penalizes wrong depths more."""
+    problem, gt_depth = make_plane_scene(rng)
+    d1, n1, c1 = patch_match.patch_match(
+        jax.random.PRNGKey(0), problem, num_iterations=6)
+    # sources see (approximately) the same plane: reuse ref depth as each
+    # source's depth map — geometrically consistent to first order for the
+    # small test baselines
+    S = problem.src_images.shape[0]
+    src_depths = jnp.broadcast_to(d1, (S,) + d1.shape)
+    d2, n2, c2 = patch_match.patch_match(
+        jax.random.PRNGKey(1), problem, num_iterations=3,
+        src_depths=src_depths, init_depth=d1, init_normal=n1)
+    H, W = gt_depth.shape
+    sl = (slice(8, H - 8), slice(8, W - 8))
+    rel1 = np.median(np.abs(np.asarray(d1)[sl] - gt_depth[sl]) / gt_depth[sl])
+    rel2 = np.median(np.abs(np.asarray(d2)[sl] - gt_depth[sl]) / gt_depth[sl])
+    assert rel2 < max(rel1 * 1.5, 0.02), (rel1, rel2)
+
+    # a uniformly wrong depth field must cost more than the solution
+    bad = jnp.full_like(d2, float(problem.depth_max))
+    c_bad = patch_match.plane_costs(problem, bad, n2,
+                                    src_depths=src_depths)
+    c_good = patch_match.plane_costs(problem, d2, n2,
+                                     src_depths=src_depths)
+    assert float(jnp.median(c_bad[sl])) > float(jnp.median(c_good[sl]))
