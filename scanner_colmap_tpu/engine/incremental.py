@@ -650,15 +650,12 @@ class IncrementalMapper:
             float(bool(refine_intrinsics)),
             float(self.cfg.filter_max_reproj_error)], np.float32)
 
-        # bucket the iteration cap (static trip count -> one compile per
-        # bucket; convergence masking makes extra trips no-ops, but they
-        # still burn device time, so buckets stay close to the request)
-        iters = next(b for b in (32, 64, 128) if max_iterations <= b) \
-            if max_iterations <= 128 else 128
+        # segmented solve: 16-trip device programs, host-continued while
+        # unconverged (most solves stop after one segment)
         P = pt_in.shape[0]
-        out = np.asarray(ba.bundle_adjust_flat(
+        out = ba.bundle_adjust_flat_segmented(
             cam_in, pt_in, obs_in, scal_in,
-            max_iterations=iters, chunk=min(1024, P)))
+            max_iterations=max_iterations, chunk=min(1024, P))
         M = cam_in.shape[0]
         cam = out[: M * 9].reshape(M, 9).astype(np.float64)
         xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)

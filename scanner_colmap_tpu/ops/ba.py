@@ -449,3 +449,52 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
         params, obs, cfg, max_iterations=max_iterations, chunk=chunk,
         function_tolerance=function_tolerance)
     return jnp.concatenate([cam.reshape(M * 9), xyz.reshape(P * 3), stats])
+
+
+def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
+                                 max_iterations: int = 25, chunk: int = 1024,
+                                 segment: int = 16,
+                                 function_tolerance: float = 1e-6):
+    """Host driver over fixed-size `bundle_adjust_flat` segments.
+
+    The in-graph LM loop has a STATIC trip count (a data-dependent while
+    costs a host sync per iteration on remote backends — see bundle_adjust).
+    Bucketing the requested cap to one big static count wastes device time:
+    most solves converge in well under 16 iterations but a 64-trip program
+    still executes 64 masked trials. Instead: run 16-trip segments and let
+    the HOST decide to continue — converged segments report
+    iterations < segment and stop. One extra round trip per continuation,
+    ~segment saved trials per early stop; also exactly ONE compiled program
+    per problem shape instead of one per iteration bucket.
+    """
+    import numpy as np
+
+    cam_in = np.asarray(cam_in, np.float32).copy()
+    pt_in = np.asarray(pt_in, np.float32).copy()
+    M = cam_in.shape[0]
+    P = pt_in.shape[0]
+    total_used = 0
+    initial_cost = None
+    out = None
+    remaining = max(int(max_iterations), 1)
+    while remaining > 0:
+        seg = min(segment, remaining)
+        out = np.asarray(bundle_adjust_flat(
+            cam_in, pt_in, obs_in, scal_in, max_iterations=segment,
+            chunk=chunk, function_tolerance=function_tolerance))
+        stats = out[M * 9 + P * 3:]
+        used = int(stats[2])
+        if initial_cost is None:
+            initial_cost = float(stats[0])
+        total_used += min(used, seg)
+        remaining -= seg
+        if used < segment or remaining <= 0:
+            break
+        # continue from the segment's solution (priors/masks unchanged)
+        cam = out[: M * 9].reshape(M, 9)
+        cam_in[:, 0:9] = cam
+        pt_in[:, 0:3] = out[M * 9: M * 9 + P * 3].reshape(P, 3)
+    out = out.copy()
+    out[M * 9 + P * 3 + 0] = initial_cost
+    out[M * 9 + P * 3 + 2] = total_used
+    return out

@@ -272,6 +272,10 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
     t0 = time.time()
     keypoints, descriptors, cam_rows, num_feats = [], [], [], []
+    # PIPELINED: dispatch every batch first (jax dispatch is async), convert
+    # afterwards — host JPEG decode of batch k+1 and the device->host
+    # download of batch k overlap device compute
+    pending = []  # (items, meta_dev, desc_dev)
     for start in range(0, len(paths), batch_size):
         chunk_paths = paths[start:start + batch_size]
         items = [image_ops.load_for_extraction(p, s.max_image_size, canvas)
@@ -285,6 +289,8 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             vhws = np.concatenate([vhws, np.ones(
                 (batch_size - n, 2), vhws.dtype)])
         meta_dev, desc_dev = extract_batch(jnp.asarray(imgs), jnp.asarray(vhws))
+        pending.append((items, meta_dev, desc_dev))
+    for items, meta_dev, desc_dev in pending:
         f_meta = np.asarray(meta_dev)   # (B, K, 5): x, y, scale, ori, valid
         f_desc = np.asarray(desc_dev)
         for b, item in enumerate(items):
@@ -580,6 +586,17 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     submodels = [colmap_io.model_from_bytes(c, i, p)
                  for c, i, p in zip(tab["cameras"], tab["images"], tab["points3d"])]
     model = merge_all(submodels, cfg.merge)
+    if cfg.merge.final_ba and len(submodels) > 1:
+        from scanner_colmap_tpu.engine.merge import global_refine
+
+        info = global_refine(
+            model, max_iterations=cfg.merge.final_ba_iterations,
+            filter_max_reproj_error=cfg.mapper.filter_max_reproj_error,
+            intr_prior_weight_f=cfg.mapper.intr_prior_weight_f,
+            intr_prior_weight_k=cfg.mapper.intr_prior_weight_k)
+        if info:
+            log.info("merge: final BA cost %.1f -> %.1f",
+                     info["initial_cost"], info["final_cost"])
     model.compute_reprojection_errors()
     cb, ib, pb = colmap_io.model_to_bytes(model)
     store.write_table("models", {

@@ -99,6 +99,11 @@ class MergeConfig:
     """Submodel merging (merge_mapping.cc:17,61: kMaxReprojError=64)."""
     max_reproj_error: float = 64.0
     min_common_images: int = 2
+    final_ba: bool = True               # global BA on the merged model
+                                        # (the reference ships the raw
+                                        # concatenation; drift accumulates
+                                        # over many submodels without this)
+    final_ba_iterations: int = 50
 
 
 @dataclasses.dataclass
