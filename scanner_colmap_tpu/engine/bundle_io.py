@@ -143,14 +143,36 @@ def pack_bundle_flat(
     costs a ~2 s remote compile, which dwarfs the padded FLOPs.
     """
     image_ids = [i for i in image_ids if rec.images[i].registered]
-    id_to_slot = {iid: s for s, iid in enumerate(image_ids)}
     M = next_pow2(max(len(image_ids), 1), min_images)
 
-    point_ids = []
-    for pid, pt in rec.points3D.items():
-        n_in = sum(1 for (i, _) in pt.track if i in id_to_slot)
-        if n_in >= 2:
-            point_ids.append(pid)
+    # gather observations from the per-image assignment arrays (vectorized;
+    # scanning every model point's track per call made packing the mapping
+    # hot spot). Points kept: >= 2 observations within image_ids.
+    obs_slot_l, obs_pid_l, obs_uv_l = [], [], []
+    for s, iid in enumerate(image_ids):
+        im = rec.images[iid]
+        mask = im.point3D_ids >= 0
+        if not mask.any():
+            continue
+        obs_slot_l.append(np.full(int(mask.sum()), s, np.int64))
+        obs_pid_l.append(im.point3D_ids[mask])
+        obs_uv_l.append(im.xys[mask])
+    if obs_pid_l:
+        obs_slot = np.concatenate(obs_slot_l)
+        obs_pid = np.concatenate(obs_pid_l)
+        obs_uv = np.concatenate(obs_uv_l)
+        uniq, inv, counts = np.unique(obs_pid, return_inverse=True,
+                                      return_counts=True)
+        sel = counts >= 2
+        point_ids = [int(p) for p in uniq[sel]]
+        keep_obs = sel[inv]
+        obs_pid = obs_pid[keep_obs]
+        obs_slot = obs_slot[keep_obs]
+        obs_uv = obs_uv[keep_obs]
+    else:
+        obs_slot = obs_pid = np.zeros(0, np.int64)
+        obs_uv = np.zeros((0, 2))
+        point_ids = []
     P = next_pow2(max(len(point_ids), 1), min_points)
 
     cam_in = np.zeros((M, ba.NUM_CAM_IN), np.float32)
@@ -176,18 +198,24 @@ def pack_bundle_flat(
 
     pt_in = np.zeros((P, 4), np.float32)
     obs_in = np.zeros((P, max_track, 4), np.float32)
-    for ps, pid in enumerate(point_ids):
-        pt = rec.points3D[pid]
-        pt_in[ps, 0:3] = pt.xyz
-        pt_in[ps, 3] = 1.0
-        t = 0
-        for (iid, kp) in pt.track:
-            if iid not in id_to_slot or t >= max_track:
-                continue
-            obs_in[ps, t, 0] = id_to_slot[iid]
-            obs_in[ps, t, 1:3] = rec.images[iid].xys[kp]
-            obs_in[ps, t, 3] = 1.0
-            t += 1
+    if point_ids:
+        xyz = np.stack([rec.points3D[pid].xyz for pid in point_ids])
+        pt_in[: len(point_ids), 0:3] = xyz
+        pt_in[: len(point_ids), 3] = 1.0
+        # scatter observations via sort-by-point (vectorized; the per-track
+        # Python loop here dominated mapping host time at scale).
+        # point_ids is sorted (np.unique) -> searchsorted maps pid -> slot
+        o_pt = np.searchsorted(np.asarray(point_ids, np.int64), obs_pid)
+        order = np.argsort(o_pt, kind="stable")
+        o_pt_s = o_pt[order]
+        counts = np.bincount(o_pt_s, minlength=P)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(len(o_pt_s)) - offsets[o_pt_s]
+        keep = pos < max_track
+        rows, cols = o_pt_s[keep], pos[keep]
+        obs_in[rows, cols, 0] = obs_slot[order][keep]
+        obs_in[rows, cols, 1:3] = obs_uv[order][keep]
+        obs_in[rows, cols, 3] = 1.0
 
     meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
     return cam_in, pt_in, obs_in, meta

@@ -413,10 +413,16 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     # track completion + merging (COLMAP CompleteAndMergeTracks, ref :141-178)
     # ------------------------------------------------------------------
-    def complete_tracks(self) -> int:
+    def complete_tracks(self, point_ids=None) -> int:
+        """With point_ids, only those points' tracks are extended (COLMAP's
+        local refinement completes the BA window's points, not the model)."""
         if self.graph.has_fast_scans:
             # one native scan for all candidates + one batched fit check
             iids, kps, pids = self.graph.complete_candidates()
+            if point_ids is not None and len(pids):
+                sub = np.isin(pids, np.fromiter(point_ids, np.int64,
+                                                len(point_ids)))
+                iids, kps, pids = iids[sub], kps[sub], pids[sub]
             if len(iids) == 0:
                 return 0
             pts = self.rec.points3D
@@ -441,7 +447,8 @@ class IncrementalMapper:
                 n += 1
             return n
         n = 0
-        for pid in list(self.rec.points3D.keys()):
+        for pid in (list(self.rec.points3D.keys())
+                    if point_ids is None else list(point_ids)):
             pt = self.rec.points3D.get(pid)
             if pt is None:
                 continue
@@ -456,13 +463,15 @@ class IncrementalMapper:
                         n += 1
         return n
 
-    def merge_tracks(self) -> int:
+    def merge_tracks(self, point_ids=None) -> int:
         """Merge pairs of 3D points linked by a correspondence whose merged
-        position fits both tracks."""
+        position fits both tracks. With point_ids, only merges touching
+        those points are considered."""
         if self.graph.has_fast_scans:
-            return self._merge_tracks_fast()
+            return self._merge_tracks_fast(point_ids)
         n = 0
-        for pid in list(self.rec.points3D.keys()):
+        for pid in (list(self.rec.points3D.keys())
+                    if point_ids is None else list(point_ids)):
             pt = self.rec.points3D.get(pid)
             if pt is None:
                 continue
@@ -501,10 +510,14 @@ class IncrementalMapper:
             n += 1
         return n
 
-    def _merge_tracks_fast(self) -> int:
+    def _merge_tracks_fast(self, point_ids=None) -> int:
         """Native candidate scan + ONE batched fit check for all candidate
         merges, then sequential conflict-free application."""
         pa, pb = self.graph.merge_candidates()
+        if point_ids is not None and len(pa):
+            ids = np.fromiter(point_ids, np.int64, len(point_ids))
+            sub = np.isin(pa, ids) | np.isin(pb, ids)
+            pa, pb = pa[sub], pb[sub]
         if len(pa) == 0:
             return 0
         pts = self.rec.points3D
@@ -550,17 +563,21 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     # filtering (COLMAP FilterPoints/FilterImages, ref :141-178)
     # ------------------------------------------------------------------
-    def filter_points(self) -> int:
+    def filter_points(self, point_ids=None) -> int:
         """Reprojection-error + max-triangulation-angle filtering, fully
         vectorized over the flattened observation arrays (the per-point loop
-        dominated mapping wall-clock before)."""
+        dominated mapping wall-clock before). With point_ids, only those
+        points are checked (COLMAP filters modified points in local passes)."""
         if not self.rec.points3D:
             return 0
-        self.rec.compute_reprojection_errors()
+        self.rec.compute_reprojection_errors(point_ids)
         min_ang = math.radians(self.cfg.min_tri_angle_deg)
 
-        pids, xyz, obs_pt, obs_img, _, img_list = self.rec.flat_observations()
+        pids, xyz, obs_pt, obs_img, _, img_list = self.rec.flat_observations(
+            point_ids)
         Np = len(pids)
+        if Np == 0:
+            return 0
         err = np.fromiter((self.rec.points3D[p].error for p in pids),
                           np.float64, Np)
         bad = (err > self.cfg.filter_max_reproj_error) | (err < 0)
@@ -664,7 +681,7 @@ class IncrementalMapper:
                                 log_f=cam[:, 7], k1=cam[:, 8], xyz=xyz)
         info = {"initial_cost": stats[0], "final_cost": stats[1],
                 "iterations": stats[2], "mean_reproj_px": stats[3],
-                "num_obs": stats[4]}
+                "num_obs": stats[4], "point_ids": meta["point_ids"]}
         unpack_bundle(self.rec, p_out, meta, update_intrinsics=refine_intrinsics)
         if refine_intrinsics:
             # normalized-keypoint cache depends on intrinsics
@@ -695,9 +712,13 @@ class IncrementalMapper:
                                 refine_intrinsics=True)
             if info is None:
                 return
-            self.complete_tracks()
-            self.merge_tracks()
-            self.filter_points()
+            # COLMAP's local refinement completes/merges/filters the BA
+            # window's points only — whole-model passes here made mapping
+            # O(model^2) over the run
+            touched = info["point_ids"]
+            self.complete_tracks(touched)
+            self.merge_tracks(touched)
+            self.filter_points(touched)
             # converged solve -> further refinement rounds are no-ops;
             # skipping them halves the local-BA device round trips
             rel_drop = (info["initial_cost"] - info["final_cost"]) / max(

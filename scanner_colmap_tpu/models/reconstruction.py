@@ -150,15 +150,20 @@ class Reconstruction:
         errs = [p.error for p in self.points3D.values() if p.error >= 0]
         return float(np.mean(errs)) if errs else -1.0
 
-    def flat_observations(self):
-        """Flatten all tracks into parallel index arrays for batched math.
+    def flat_observations(self, point_ids=None):
+        """Flatten tracks into parallel index arrays for batched math.
 
         Returns (pids (Np,), xyz (Np,3), obs_pt (No,), obs_img (No,),
         obs_kp (No,), img_list) where obs_img indexes into the compact
-        img_list and obs_pt into pids.
+        img_list and obs_pt into pids. With point_ids, only those points
+        (COLMAP's modified-points passes scale with the local window, not
+        the whole model).
         """
         pts = self.points3D
-        pids = np.fromiter(pts.keys(), np.int64, len(pts))
+        if point_ids is None:
+            pids = np.fromiter(pts.keys(), np.int64, len(pts))
+        else:
+            pids = np.asarray([p for p in point_ids if p in pts], np.int64)
         xyz = np.empty((len(pids), 3))
         obs_pt, obs_img, obs_kp = [], [], []
         img_index: Dict[int, int] = {}
@@ -179,15 +184,19 @@ class Reconstruction:
                 np.asarray(obs_img, np.int64), np.asarray(obs_kp, np.int64),
                 img_list)
 
-    def compute_reprojection_errors(self) -> None:
+    def compute_reprojection_errors(self, point_ids=None) -> None:
         """Recompute per-point mean reprojection error from current geometry.
 
         Fully vectorized host numpy over the flattened observation arrays —
         one batched rotate/project for ALL observations (the per-track loop
-        version dominated mapping wall-clock)."""
+        version dominated mapping wall-clock). With point_ids, only those
+        points are updated."""
         if not self.points3D:
             return
-        pids, xyz, obs_pt, obs_img, obs_kp, img_list = self.flat_observations()
+        pids, xyz, obs_pt, obs_img, obs_kp, img_list = self.flat_observations(
+            point_ids)
+        if len(pids) == 0:
+            return
         if len(obs_pt) == 0:
             for pid in pids:
                 self.points3D[pid].error = -1.0

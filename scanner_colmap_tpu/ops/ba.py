@@ -454,7 +454,8 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
 def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
                                  max_iterations: int = 25, chunk: int = 1024,
                                  segment: int = 16,
-                                 function_tolerance: float = 1e-6):
+                                 function_tolerance: float = 1e-6,
+                                 segment_improvement_tol: float = 1e-3):
     """Host driver over fixed-size `bundle_adjust_flat` segments.
 
     The in-graph LM loop has a STATIC trip count (a data-dependent while
@@ -489,6 +490,13 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
         total_used += min(used, seg)
         remaining -= seg
         if used < segment or remaining <= 0:
+            break
+        # host-level stop: LM's per-iteration tolerance (1e-6) rarely fires
+        # inside one segment, but a segment that barely moved the cost will
+        # not move it next segment either — don't pay another round trip
+        rel_drop = (float(stats[0]) - float(stats[1])) / max(
+            abs(float(stats[0])), 1e-12)
+        if rel_drop < segment_improvement_tol:
             break
         # continue from the segment's solution (priors/masks unchanged)
         cam = out[: M * 9].reshape(M, 9)
