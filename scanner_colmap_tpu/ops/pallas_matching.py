@@ -1,11 +1,20 @@
 """Pallas TPU kernel: fused descriptor matching (similarity + top-2 + ratio).
 
-The XLA path (ops/matching.py) materializes the (N, M) similarity matrix in
-HBM and reads it three times (argmax, one-hot mask, second max). This kernel
-tiles the row axis, keeps each (TILE_N, M) similarity block in VMEM, and
-produces best/second/argbest in one pass: one HBM write of O(N) instead of
-O(N*M) traffic — the matmul feeds the MXU directly from VMEM-resident
-descriptor tiles.
+Tiles BOTH axes: each grid step computes a (TILE_N, TILE_M) similarity block
+on the MXU from VMEM-resident descriptor tiles and folds it into running
+(best, second, argbest) accumulators that live in the (revisited) output
+blocks — one HBM write of O(N) instead of O(N*M) traffic, and VMEM use is
+independent of M (a single-row-tile version held the whole (TILE_N, M)
+block and blew the 128 MB VMEM budget at M=1024 on v5e).
+
+STATUS — measured on TPU v5e and kept as the ALTERNATIVE path: XLA compiles
+ops/matching.py's top-2 pattern into fused reductions that never
+materialize the similarity matrix, beating this kernel at every size tried
+(1k: 0.07 vs 0.08 ms/pair; 32k: 0.2 vs 2.1 ms; vmapped batch of 64 pairs:
+0.4 vs 29 ms — vmap turns the accumulator grid sequential). The pipeline
+therefore uses the XLA path by default; this kernel remains correct
+(bit-identical outputs, tested interpret + compiled) for the regimes XLA's
+fusion might miss on other hardware generations.
 
 Numerics match matching.match_descriptors exactly (same masking/ratio/cross
 rules are applied by the caller on the reduced outputs).
@@ -23,28 +32,53 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 TILE_N = 256
+TILE_M = 256
 
 
-def _top2_kernel(d1_ref, d2_ref, v2_ref, best_ref, second_ref, idx_ref):
-    """One row tile: sim = d1 @ d2^T; per-row best/second/argbest."""
-    d1 = d1_ref[:]                      # (TILE_N, 128)
-    d2 = d2_ref[:]                      # (M, 128)
-    v2 = v2_ref[:]                      # (M, 1) float 0/1 validity
+def _top2_kernel(d1_ref, d2_ref, v2_ref, best_ref, second_ref, idx_ref, *,
+                 tile_m: int):
+    """Fold one (TILE_N, tile_m) similarity block into the row accumulators."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_ref[:] = jnp.full(best_ref.shape, NEG, jnp.float32)
+        second_ref[:] = jnp.full(second_ref.shape, NEG, jnp.float32)
+        idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    d1 = d1_ref[:]                      # (TILE_N, D)
+    d2 = d2_ref[:]                      # (TILE_M, D)
+    v2 = v2_ref[:]                      # (1, TILE_M) float 0/1 validity —
+    # row-vector layout: a (TILE_M, 1) column here would need a
+    # sublane->lane transpose, which Mosaic lowers via a huge VMEM-stack
+    # expansion (observed 52 MB scoped-vmem OOM)
     sim = jax.lax.dot_general(
         d1, d2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TILE_N, M)
-    sim = jnp.where(v2[:, 0][None, :] > 0, sim, NEG)
+        preferred_element_type=jnp.float32)          # (TILE_N, TILE_M)
+    sim = jnp.where(v2 > 0, sim, NEG)
 
-    M = sim.shape[1]
+    # argmax via reductions only (jnp.argmax lowers to a Mosaic expansion
+    # that blew the 16M scoped-VMEM stack): first-max index = min column
+    # among maximal entries
     col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, dimension=1)
-    best = jnp.max(sim, axis=1)
-    amax = jnp.argmax(sim, axis=1).astype(jnp.int32)
-    masked = jnp.where(col == amax[:, None], NEG, sim)
-    second = jnp.max(masked, axis=1)
+    tb = jnp.max(sim, axis=1)                            # tile best
+    big = jnp.int32(1 << 30)
+    ta = jnp.min(jnp.where(sim >= tb[:, None], col, big), axis=1)
+    masked = jnp.where(col == ta[:, None], NEG, sim)
+    ts = jnp.max(masked, axis=1)                         # tile second
+    ta = ta + j * tile_m                                 # global column
 
-    best_ref[:] = best[:, None]
-    second_ref[:] = second[:, None]
-    idx_ref[:] = amax[:, None]
+    b0 = best_ref[:][:, 0]
+    s0 = second_ref[:][:, 0]
+    i0 = idx_ref[:][:, 0]
+    # merge two top-2 sets: best = max of bests; second = max of the
+    # seconds and the losing best
+    new_best = jnp.maximum(b0, tb)
+    new_idx = jnp.where(tb > b0, ta, i0)
+    new_second = jnp.maximum(jnp.minimum(b0, tb), jnp.maximum(s0, ts))
+    best_ref[:] = new_best[:, None]
+    second_ref[:] = new_second[:, None]
+    idx_ref[:] = new_idx[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -53,30 +87,33 @@ def top2_similarity(d1: jax.Array, d2: jax.Array, valid2: jax.Array,
     """Per-row (best, second, argbest) of d1 @ d2^T with column masking.
 
     d1: (N, 128) float32 L2-normalized; d2: (M, 128); valid2: (M,).
-    N must be a multiple of TILE_N (pad rows); M a multiple of 128.
+    N must be a multiple of TILE_N (pad rows); M a multiple of TILE_M.
     """
     N, D = d1.shape
     M = d2.shape[0]
+    tile_m = TILE_M if M % TILE_M == 0 else 128
     assert N % TILE_N == 0, f"N={N} must be a multiple of {TILE_N}"
-    assert M % 128 == 0, f"M={M} must be a multiple of 128"
-    v2 = valid2.astype(jnp.float32)[:, None]
+    assert M % tile_m == 0, f"M={M} must be a multiple of {tile_m}"
+    v2 = valid2.astype(jnp.float32)[None, :]
 
-    grid = (N // TILE_N,)
+    grid = (N // TILE_N, M // tile_m)
     best, second, idx = pl.pallas_call(
-        _top2_kernel,
+        functools.partial(_top2_kernel, tile_m=tile_m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
