@@ -362,7 +362,7 @@ def bundle_adjust(
                          jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                                    jnp.minimum(lam * 10.0, 1e6)))
         rel = jnp.abs(cost - cost2) / jnp.maximum(cost, 1e-12)
-        done2 = done | (accept & (rel < function_tolerance))
+        done2 = done | (accept & (rel < function_tolerance)) | (lam2 > 1e5)
         return (p2, lam2, cost2, done2, n_applied + (~done).astype(jnp.int32))
 
     p_f, lam_f, cost_f, _, it = jax.lax.fori_loop(
@@ -371,7 +371,8 @@ def bundle_adjust(
          jnp.asarray(False), jnp.asarray(0, jnp.int32)))
     _, mean_px, n_obs = robust_cost(p_f, obs, cfg, axis_name)
     info = {"initial_cost": cost0, "final_cost": cost_f,
-            "iterations": it, "mean_reproj_px": mean_px, "num_obs": n_obs}
+            "iterations": it, "mean_reproj_px": mean_px, "num_obs": n_obs,
+            "final_lambda": lam_f}
     return p_f, info
 
 
@@ -388,11 +389,12 @@ def bundle_adjust_packed(
     axis_name: str | None = None,
 ):
     """`bundle_adjust` with results packed into 3 arrays — (cam (M, 9),
-    xyz (P, 3), stats (5,)) — so host engines on high-latency tunneled
+    xyz (P, 3), stats (6,)) — so host engines on high-latency tunneled
     backends pay 3 device->host transfers instead of ~10.
 
     cam rows are [qvec(4), tvec(3), log_f(1), k1(1)]; stats is
-    [initial_cost, final_cost, iterations, mean_reproj_px, num_obs].
+    [initial_cost, final_cost, iterations, mean_reproj_px, num_obs,
+    final_lambda].
     """
     p, info = bundle_adjust(params, obs, cfg, max_iterations=max_iterations,
                             chunk=chunk, initial_lambda=initial_lambda,
@@ -406,7 +408,8 @@ def bundle_adjust_packed(
                        info["final_cost"].astype(dt),
                        info["iterations"].astype(dt),
                        info["mean_reproj_px"].astype(dt),
-                       info["num_obs"].astype(dt)])
+                       info["num_obs"].astype(dt),
+                       info["final_lambda"].astype(dt)])
     return cam, p.xyz, stats
 
 
@@ -425,14 +428,23 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
                       prior_weight_f, prior_weight_k]
     pt_in   (P, 4):  [xyz(3), pt_valid]
     obs_in  (P, T, 4): [cam_idx, u, v, valid]
-    scal_in (3,):    [refine_focal, refine_distortion, loss_scale]
+    scal_in (4,):    [refine_focal, refine_distortion, loss_scale,
+                      initial_lambda (<=0 -> default 1e-4; segmented
+                      continuations pass the previous segment's adapted
+                      damping — resetting it wasted ~2 extra segments per
+                      solve re-adapting)]
+                      (a length-3 scal_in is accepted: default lambda)
 
-    Returns flat (M*9 + P*3 + 5,): cam rows [qvec, tvec, log_f, k1],
+    Returns flat (M*9 + P*3 + 6,): cam rows [qvec, tvec, log_f, k1],
     xyz rows, stats [initial_cost, final_cost, iterations,
-    mean_reproj_px, num_obs].
+    mean_reproj_px, num_obs, final_lambda].
     """
     M = cam_in.shape[0]
     P = pt_in.shape[0]
+    if scal_in.shape[0] < 4:
+        scal_in = jnp.concatenate([jnp.asarray(scal_in),
+                                   jnp.zeros(1, jnp.float32)])
+    lam0 = jnp.where(scal_in[3] > 0, scal_in[3], 1e-4)
     params = BundleParams(qvec=cam_in[:, 0:4], tvec=cam_in[:, 4:7],
                           log_f=cam_in[:, 7], k1=cam_in[:, 8],
                           xyz=pt_in[:, 0:3])
@@ -447,7 +459,7 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
         prior_weight_f=cam_in[:, 20], prior_weight_k=cam_in[:, 21])
     cam, xyz, stats = bundle_adjust_packed(
         params, obs, cfg, max_iterations=max_iterations, chunk=chunk,
-        function_tolerance=function_tolerance)
+        initial_lambda=lam0, function_tolerance=function_tolerance)
     return jnp.concatenate([cam.reshape(M * 9), xyz.reshape(P * 3), stats])
 
 
@@ -472,24 +484,26 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
 
     cam_in = np.asarray(cam_in, np.float32).copy()
     pt_in = np.asarray(pt_in, np.float32).copy()
+    scal = np.zeros(4, np.float32)
+    scal[: len(np.asarray(scal_in))] = np.asarray(scal_in, np.float32)
     M = cam_in.shape[0]
     P = pt_in.shape[0]
     total_used = 0
     initial_cost = None
     out = None
     remaining = max(int(max_iterations), 1)
+    seg = segment
     while remaining > 0:
-        seg = min(segment, remaining)
         out = np.asarray(bundle_adjust_flat(
-            cam_in, pt_in, obs_in, scal_in, max_iterations=segment,
+            cam_in, pt_in, obs_in, scal, max_iterations=seg,
             chunk=chunk, function_tolerance=function_tolerance))
         stats = out[M * 9 + P * 3:]
         used = int(stats[2])
         if initial_cost is None:
             initial_cost = float(stats[0])
-        total_used += min(used, seg)
+        total_used += min(used, remaining)
         remaining -= seg
-        if used < segment or remaining <= 0:
+        if used < seg or remaining <= 0:
             break
         # host-level stop: LM's per-iteration tolerance (1e-6) rarely fires
         # inside one segment, but a segment that barely moved the cost will
@@ -498,10 +512,15 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
             abs(float(stats[0])), 1e-12)
         if rel_drop < segment_improvement_tol:
             break
-        # continue from the segment's solution (priors/masks unchanged)
+        # continue from the segment's solution: carry the adapted damping
+        # (restarting at lambda=1e-4 wasted iterations re-adapting) and
+        # escalate the segment size — a solve that survived one full
+        # segment is a long solve, so amortize the next round trip
         cam = out[: M * 9].reshape(M, 9)
         cam_in[:, 0:9] = cam
         pt_in[:, 0:3] = out[M * 9: M * 9 + P * 3].reshape(P, 3)
+        scal[3] = max(float(stats[5]), 1e-10)
+        seg = min(seg * 2, 64)
     out = out.copy()
     out[M * 9 + P * 3 + 0] = initial_cost
     out[M * 9 + P * 3 + 2] = total_used

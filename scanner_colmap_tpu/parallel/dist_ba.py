@@ -59,7 +59,7 @@ def distributed_bundle_adjust(
         refine_focal=P(), refine_distortion=P(), loss_scale=P(),
         prior_log_f=P(), prior_k1=P(), prior_weight_f=P(), prior_weight_k=P())
     info_spec = {"initial_cost": P(), "final_cost": P(), "iterations": P(),
-                 "mean_reproj_px": P(), "num_obs": P()}
+                 "mean_reproj_px": P(), "num_obs": P(), "final_lambda": P()}
 
     def body(p, o, c):
         return ba.bundle_adjust(

@@ -60,7 +60,7 @@ def make_distributed_step(mesh: Mesh, overlap: int, ba_iterations: int = 3,
         refine_focal=P(), refine_distortion=P(), loss_scale=P(),
         prior_log_f=P(), prior_k1=P(), prior_weight_f=P(), prior_weight_k=P())
     info_spec = {"initial_cost": P(), "final_cost": P(), "iterations": P(),
-                 "mean_reproj_px": P(), "num_obs": P()}
+                 "mean_reproj_px": P(), "num_obs": P(), "final_lambda": P()}
 
     def step(desc, kp_valid, params, obs, cfg):
         idx, ok = local_matching(desc, kp_valid)
