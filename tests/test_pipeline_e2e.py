@@ -121,3 +121,22 @@ def test_matching_multiple_models(cfg, dataset):
     assert len(two_view) >= 8
     # restore single-model matching table for later tests in this module
     stages.run_matching(cfg, store)
+
+
+def test_mapping_deterministic(cfg, dataset):
+    """Same inputs -> bitwise-identical mapping output, including under
+    concurrent cluster workers (each cluster is seeded by its index; no
+    shared mutable state — the reference's stateful id counter and temp-file
+    collisions made this impossible, SURVEY §5 race detection)."""
+    store = ArtifactStore(cfg.store_path)
+    if not store.has_table("matching"):
+        pytest.skip("matching not run")
+    stages.run_mapping(cfg, store)
+    t1 = store.read_table("mapping")
+    stages.run_mapping(cfg, store)
+    t2 = store.read_table("mapping")
+    assert list(t1["cluster_id"]) == list(t2["cluster_id"])
+    for a, b in zip(t1["images"], t2["images"]):
+        assert a == b
+    for a, b in zip(t1["points3d"], t2["points3d"]):
+        assert a == b
