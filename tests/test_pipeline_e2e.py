@@ -34,8 +34,8 @@ def cfg(dataset, tmp_path_factory):
     cfg.mapper.abs_pose_min_num_inliers = 12
     cfg.patch_match.max_image_size = 96
     cfg.patch_match.overlap = 3
-    cfg.patch_match.num_iterations = 3
-    cfg.patch_match.window_radius = 2
+    cfg.patch_match.num_iterations = 6
+    cfg.patch_match.window_radius = 3
     return cfg
 
 
