@@ -872,11 +872,28 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
     def run_pass(depth_bank=None, normal_bank=None, cost_bank=None):
         """One sweep over all ref images. With banks (canvas-res pass-1
         results), runs the geom-consistency pass: source depth maps feed
-        the forward-backward term, pass-1 depth/normal warm-start."""
+        the forward-backward term, pass-1 depth/normal warm-start.
+
+        PIPELINED: jax dispatch is async, so problems are dispatched ahead
+        (bounded in-flight window) and results downloaded in order — host
+        problem assembly, device compute, and downloads overlap."""
         nonlocal key
         d_out = [None] * n
         n_out = [None] * n
         c_out = [None] * n
+        MAX_IN_FLIGHT = 8
+        pending = []  # (ref, packed device array)
+
+        def drain(ref, packed_dev):
+            try:
+                packed = np.asarray(packed_dev)
+            except Exception as e:  # per-image tolerance, patch_match.cc:108-114
+                log.warning("patch_match failed for image %d: %s", ref, e)
+                return
+            d_out[ref] = packed[..., 0].astype(np.float32)
+            n_out[ref] = packed[..., 1:4].astype(np.float32)
+            c_out[ref] = packed[..., 4].astype(np.float32)
+
         for ref in range(n):
             kwargs = {}
             if depth_bank is not None:
@@ -901,14 +918,16 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
                     sigma_color=pm.sigma_color,
                     sampling=pm.sampling, **kwargs)
                 # ONE packed download per image instead of three
-                packed = np.asarray(jnp.concatenate(
-                    [depth[..., None], normal, cost[..., None]], axis=-1))
-            except Exception as e:  # per-image tolerance, patch_match.cc:108-114
+                packed_dev = jnp.concatenate(
+                    [depth[..., None], normal, cost[..., None]], axis=-1)
+            except Exception as e:
                 log.warning("patch_match failed for image %d: %s", ref, e)
                 continue
-            d_out[ref] = packed[..., 0].astype(np.float32)
-            n_out[ref] = packed[..., 1:4].astype(np.float32)
-            c_out[ref] = packed[..., 4].astype(np.float32)
+            pending.append((ref, packed_dev))
+            if len(pending) >= MAX_IN_FLIGHT:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
         return d_out, n_out, c_out
 
     d_bank, n_bank, c_bank = run_pass()
