@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("stereo_fusion", help="stage 8: fuse depth maps")
     f.add_argument("--ply_path", help="write fused cloud as PLY")
 
+    st = sub.add_parser("set", help="write dotted-key config overrides into "
+                                    "a JSON config file (e.g. "
+                                    "matching.overlap=5 sift.upright=true)")
+    st.add_argument("overrides", nargs="+", metavar="KEY=VALUE")
+    st.add_argument("--out", help="output config path (default: --config "
+                                  "path, or <store_path>/pipeline_config.json)")
+
     a = sub.add_parser("all", help="run the full pipeline")
     a.add_argument("--export_path")
     a.add_argument("--ply_path")
@@ -115,6 +122,27 @@ def main(argv=None):
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     cfg = config_from_args(args)
+
+    if args.stage == "set":
+        import ast
+
+        for kv in args.overrides:
+            key, _, val = kv.partition("=")
+            if not _:
+                raise SystemExit(f"expected KEY=VALUE, got {kv!r}")
+            try:
+                val = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                if val.lower() in ("true", "false"):
+                    val = val.lower() == "true"
+            cfg.apply_overrides({key.strip(): val})
+        out = args.out or args.config or os.path.join(
+            cfg.store_path, "pipeline_config.json")
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            f.write(cfg.to_json())
+        print(f"wrote {out}")
+        return 0
 
     # import stages lazily: jax init is slow and `--help` shouldn't pay it
     from scanner_colmap_tpu.pipeline import stages
