@@ -94,6 +94,47 @@ def barrier_via_store(store, name: str, timeout_s: float = 3600.0,
         time.sleep(poll_s)
 
 
+def run_matching_distributed(cfg, store=None):
+    """Multi-host variant of the matching stage: each host matches its
+    round-robin slice of the PAIR SCHEDULE (the 10k-image partitioned
+    matching configuration, BASELINE.md) and writes `matching_shard_<pid>`;
+    host 0 concatenates shards into the canonical `matching` table."""
+    import numpy as np
+
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = store or ArtifactStore(cfg.store_path)
+    pid, n = process_info()
+    stages.run_matching(cfg, store, schedule_slice=(pid, n),
+                        out_table=f"matching_shard_{pid}")
+    barrier_via_store(store, "matching_done")
+    if pid == 0:
+        merged = {"pair_image_ids": [], "two_view_geometry": [], "matches": []}
+        for i in range(n):
+            t = store.read_table(f"matching_shard_{i}")
+            pids_ = np.asarray(t["pair_image_ids"]).reshape(-1, 2)
+            for r in range(len(pids_)):
+                merged["pair_image_ids"].append(pids_[r])
+                merged["two_view_geometry"].append(
+                    np.asarray(t["two_view_geometry"][r]))
+                merged["matches"].append(np.asarray(t["matches"][r]))
+        # deterministic order: sort rows by (id1, id2)
+        order = sorted(range(len(merged["pair_image_ids"])),
+                       key=lambda r: tuple(merged["pair_image_ids"][r]))
+        store.write_table("matching", {
+            "pair_image_ids": (np.stack([merged["pair_image_ids"][r]
+                                         for r in order])
+                               if order else np.zeros((0, 2), np.int64)),
+            "two_view_geometry": (np.stack([merged["two_view_geometry"][r]
+                                            for r in order])
+                                  if order else np.zeros((0, 37))),
+            "matches": [merged["matches"][r] for r in order],
+        }, meta={"stage": "matching", "num_hosts": n})
+    barrier_via_store(store, "matching_merged")
+    return store.num_rows("matching") if pid == 0 else None
+
+
 def run_mapping_distributed(cfg, store=None):
     """Multi-host variant of the mapping stage: each host reconstructs its
     round-robin share of clusters and writes `mapping_shard_<pid>`; host 0

@@ -25,58 +25,68 @@ from scanner_colmap_tpu.utils.config import PipelineConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # common flags live on a parent parser so they work BOTH before and
+    # after the subcommand (`cli all --image_path ...` is the documented
+    # form; argparse otherwise rejects parser-level flags there)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config",
+                        help="JSON config file (serialized PipelineConfig)")
+    common.add_argument("--store_path", default=None,
+                        help="artifact store directory")
+    common.add_argument("--image_path", default=None,
+                        help="input image directory")
+    common.add_argument("-v", "--verbose", action="store_true")
+
     p = argparse.ArgumentParser(
         prog="scanner_colmap_tpu",
-        description="TPU-native SfM/MVS pipeline (scanner-colmap capabilities)")
-    p.add_argument("--config", help="JSON config file (serialized PipelineConfig)")
-    p.add_argument("--store_path", default=None, help="artifact store directory")
-    p.add_argument("--image_path", default=None, help="input image directory")
-    p.add_argument("-v", "--verbose", action="store_true")
+        description="TPU-native SfM/MVS pipeline (scanner-colmap capabilities)",
+        parents=[common])
 
     sub = p.add_subparsers(dest="stage", required=True)
 
-    pi = sub.add_parser("prepare_images", help="stage 1: ingest + id assignment")
+    pi = sub.add_parser("prepare_images", parents=[common], help="stage 1: ingest + id assignment")
     pi.add_argument("--stride", type=int, default=1,
                     help="sample every Nth frame (video/sequence sampling)")
     pi.add_argument("--range", type=int, nargs=2, metavar=("START", "END"),
                     help="frame index range [START, END)")
 
-    e = sub.add_parser("extraction", help="stage 2: SIFT features")
+    e = sub.add_parser("extraction", parents=[common], help="stage 2: SIFT features")
     e.add_argument("--max_image_size", type=int)
     e.add_argument("--max_num_features", type=int)
 
-    m = sub.add_parser("feature_matching", help="stage 3: windowed matching")
+    m = sub.add_parser("feature_matching", parents=[common], help="stage 3: windowed matching")
     m.add_argument("--overlap", type=int, help="match window size (ref default 10)")
 
-    mp = sub.add_parser("incremental_mapping", help="stage 4: clustered SfM")
+    mp = sub.add_parser("incremental_mapping", parents=[common], help="stage 4: clustered SfM")
     mp.add_argument("--cluster_size", type=int)
     mp.add_argument("--cluster_overlap", type=int)
 
-    mg = sub.add_parser("merge_mapping", help="stage 5: merge submodels")
+    mg = sub.add_parser("merge_mapping", parents=[common], help="stage 5: merge submodels")
     mg.add_argument("--export_path", help="COLMAP-binary export directory")
 
-    ud = sub.add_parser("undistort",
+    ud = sub.add_parser("undistort", parents=[common],
                         help="stage 5b: undistort registered images to "
                              "pinhole (dense-ready workspace)")
     ud.add_argument("--output_path", help="workspace dir (default "
                                           "<store>/undistorted)")
 
-    sub.add_parser("prepare_patch_match", help="stage 6: MVS problem prep")
+    sub.add_parser("prepare_patch_match", parents=[common],
+                   help="stage 6: MVS problem prep")
 
-    pm = sub.add_parser("patch_match", help="stage 7: PatchMatch depth/normals")
+    pm = sub.add_parser("patch_match", parents=[common], help="stage 7: PatchMatch depth/normals")
     pm.add_argument("--pm_overlap", type=int, help="source view count")
 
-    f = sub.add_parser("stereo_fusion", help="stage 8: fuse depth maps")
+    f = sub.add_parser("stereo_fusion", parents=[common], help="stage 8: fuse depth maps")
     f.add_argument("--ply_path", help="write fused cloud as PLY")
 
-    st = sub.add_parser("set", help="write dotted-key config overrides into "
+    st = sub.add_parser("set", parents=[common], help="write dotted-key config overrides into "
                                     "a JSON config file (e.g. "
                                     "matching.overlap=5 sift.upright=true)")
     st.add_argument("overrides", nargs="+", metavar="KEY=VALUE")
     st.add_argument("--out", help="output config path (default: --config "
                                   "path, or <store_path>/pipeline_config.json)")
 
-    a = sub.add_parser("all", help="run the full pipeline")
+    a = sub.add_parser("all", parents=[common], help="run the full pipeline")
     a.add_argument("--export_path")
     a.add_argument("--ply_path")
     a.add_argument("--sparse_only", action="store_true")

@@ -342,10 +342,15 @@ def _load_extraction(store: ArtifactStore):
 # stage 3: feature matching + two-view geometry
 # ---------------------------------------------------------------------------
 
-def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                 schedule_slice: Optional[tuple] = None,
+                 out_table: str = "matching"):
     """Sequential overlap-window matching + geometric verification
     (reference feature_matching.py + sequential_matching.cc). Uses REAL
-    intrinsics for verification (fixes SURVEY §8.6)."""
+    intrinsics for verification (fixes SURVEY §8.6).
+
+    schedule_slice=(k, n): process only every n-th scheduled pair starting
+    at k (multi-host partitioned matching — parallel/dist.py)."""
     store = store or ArtifactStore(cfg.store_path)
     image_ids, kp, desc, cameras = _load_extraction(store)
     m = cfg.matching
@@ -372,6 +377,9 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         offsets = list(range(1, m.overlap + 1))
     sched = [(a, a + off) for off in offsets for a in range(n_img)
              if a + off < n_img]
+    if schedule_slice is not None:
+        k, nproc = schedule_slice
+        sched = sched[k::nproc]
 
     # ---- phase 1: ALL scheduled pairs matched in ONE device dispatch -----
     NPairs = len(sched)
@@ -450,7 +458,7 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             match_lists = _guided_rematch(
                 m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists)
 
-    store.write_table("matching", {
+    store.write_table(out_table, {
         "pair_image_ids": np.asarray(pair_ids, np.int64).reshape(-1, 2),
         "two_view_geometry": np.stack(tvg_rows) if tvg_rows else np.zeros((0, 37)),
         "matches": match_lists,

@@ -66,3 +66,36 @@ def test_run_mapping_distributed_single_process(tmp_path, rng):
     assert store.has_table("mapping_shard_0")
     model = stages.run_merge(cfg, store)
     assert model.num_registered >= 4
+
+
+def test_run_matching_distributed_single_process(tmp_path, rng):
+    """Single-process degenerate case: shard 0 of 1 == full matching table."""
+    from scanner_colmap_tpu.parallel.dist import run_matching_distributed
+    from scanner_colmap_tpu.pipeline import stages, synth
+    from scanner_colmap_tpu.utils.config import PipelineConfig
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    image_dir = str(tmp_path / "imgs")
+    synth.generate_dataset(image_dir, num_images=6, width=320, height=240,
+                           num_blobs=300, seed=4)
+    cfg = PipelineConfig()
+    cfg.image_path = image_dir
+    cfg.store_path = str(tmp_path / "store")
+    cfg.sift.max_image_size = 320
+    cfg.sift.max_num_features = 512
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 3
+    cfg.matching.min_num_inliers = 12
+    store = ArtifactStore(cfg.store_path)
+    stages.prepare_images(cfg, store)
+    stages.run_extraction(cfg, store)
+    n = run_matching_distributed(cfg, store)
+    assert n is not None and n >= 5
+    # identical to the single-host stage output (row order is canonical)
+    stages.run_matching(cfg, store, out_table="matching_ref")
+    a = store.read_table("matching")
+    b = store.read_table("matching_ref")
+    import numpy as np
+    pa = np.asarray(a["pair_image_ids"]).reshape(-1, 2)
+    pb = np.asarray(b["pair_image_ids"]).reshape(-1, 2)
+    assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
