@@ -158,6 +158,76 @@ def fuse_depth_maps(
     }
 
 
+def count_emitted(result) -> int:
+    """Download ONE scalar: how many pixels will emit a fused point."""
+    return int(jnp.sum(result["emit"]))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _gather_emitted(result, k: int):
+    """Device-side compaction: pack the first k emitted pixels' fields into
+    ONE buffer. Downloading the full per-pixel fields (incl. the
+    (N, H, W, N) visibility tensor) cost hundreds of MB at 48+ views; this
+    reduces the transfer to O(points)."""
+    N = result["emit"].shape[0]
+    emit_flat = result["emit"].reshape(-1)
+    # top_k on 0/1 flags returns emitted indices first (ties keep index
+    # order), padded with non-emitted indices; the host masks by flag
+    flags, idx = jax.lax.top_k(emit_flat.astype(jnp.float32), k)
+    xyz = result["xyz"].reshape(-1, 3)[idx]
+    rgb = result["rgb"].reshape(-1, 3)[idx]
+    nrm = result["normal"].reshape(-1, 3)[idx]
+    nc = result["num_consistent"].reshape(-1)[idx].astype(jnp.float32)
+    packed = jnp.concatenate(
+        [xyz, rgb, nrm, nc[:, None], flags[:, None]], axis=1)  # (k, 11)
+    # visibility as a bit-packed uint8 mask: (k, ceil(N/8))
+    vis = result["visibility"].reshape(-1, N)[idx]
+    pad = (-N) % 8
+    vis = jnp.pad(vis, ((0, 0), (0, pad)))
+    bits = (vis.reshape(k, -1, 8)
+            * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+            ).sum(-1).astype(jnp.uint8)
+    return packed, bits
+
+
+def compact_fused_points_device(result, max_points: int | None = None):
+    """Like compact_fused_points, but gathers on DEVICE and downloads one
+    O(points) buffer. Returns the same dict (visibility as unpacked bool)."""
+    n_emit = count_emitted(result)
+    if n_emit == 0:
+        N = result["emit"].shape[0]
+        return {"xyz": np.zeros((0, 3)), "rgb": np.zeros((0, 3)),
+                "normal": np.zeros((0, 3)),
+                "num_consistent": np.zeros(0, np.int64),
+                "visibility": np.zeros((0, N), bool)}
+    k = 64
+    while k < n_emit:
+        k *= 2
+    total = int(np.prod(result["emit"].shape))
+    k = min(k, total)
+    if max_points is not None:
+        k = min(k, max(max_points, 64))
+    packed, bits = _gather_emitted(result, k)
+    packed = np.asarray(packed)
+    bits = np.asarray(bits)
+    keep = packed[:, 10] > 0.5
+    if max_points is not None and keep.sum() > max_points:
+        support = packed[:, 9]
+        order = np.argsort(-support[keep])
+        sel = np.flatnonzero(keep)[order[:max_points]]
+    else:
+        sel = np.flatnonzero(keep)
+    N = result["emit"].shape[0]
+    vis = np.unpackbits(bits[sel], axis=1, bitorder="little")[:, :N] > 0
+    return {
+        "xyz": packed[sel, 0:3],
+        "rgb": packed[sel, 3:6],
+        "normal": packed[sel, 6:9],
+        "num_consistent": packed[sel, 9].astype(np.int64),
+        "visibility": vis,
+    }
+
+
 def compact_fused_points(result, max_points: int | None = None):
     """Host-side compaction of emit=True pixels into arrays."""
     emit = np.asarray(result["emit"])

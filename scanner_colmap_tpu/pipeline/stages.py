@@ -894,13 +894,16 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
 
         def drain(ref, packed_dev):
             try:
-                packed = np.asarray(packed_dev)
+                packed = np.asarray(packed_dev).astype(np.float32)
             except Exception as e:  # per-image tolerance, patch_match.cc:108-114
                 log.warning("patch_match failed for image %d: %s", ref, e)
                 return
-            d_out[ref] = packed[..., 0].astype(np.float32)
-            n_out[ref] = packed[..., 1:4].astype(np.float32)
-            c_out[ref] = packed[..., 4].astype(np.float32)
+            d_out[ref] = packed[..., 0]
+            # normals are unit with n_z < 0 by construction: reconstruct z
+            nx, ny = packed[..., 1], packed[..., 2]
+            nz = -np.sqrt(np.maximum(1.0 - nx**2 - ny**2, 0.0))
+            n_out[ref] = np.stack([nx, ny, nz], axis=-1)
+            c_out[ref] = packed[..., 3]
 
         for ref in range(n):
             kwargs = {}
@@ -925,9 +928,14 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
                     sigma_spatial=pm.sigma_spatial,
                     sigma_color=pm.sigma_color,
                     sampling=pm.sampling, **kwargs)
-                # ONE packed download per image instead of three
+                # ONE packed f16 download per image instead of three f32
+                # maps (downloads dominate this stage on slow links; f16
+                # depth keeps ~5e-4 relative precision vs fusion's 1e-2
+                # consistency gate, and unit normals with n_z < 0 need
+                # only two components)
                 packed_dev = jnp.concatenate(
-                    [depth[..., None], normal, cost[..., None]], axis=-1)
+                    [depth[..., None], normal[..., :2], cost[..., None]],
+                    axis=-1).astype(jnp.float16)
             except Exception as e:
                 log.warning("patch_match failed for image %d: %s", ref, e)
                 continue
@@ -1027,7 +1035,7 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         inp, max_depth_error=fu.max_depth_error,
         max_normal_error_rad=math.radians(fu.max_normal_error_deg),
         min_num_consistent=fu.min_num_consistent)
-    pts = fusion_ops.compact_fused_points(out)
+    pts = fusion_ops.compact_fused_points_device(out)
     rate = len(pts["xyz"]) / max(time.time() - t0, 1e-9)
     store.write_table("fused", {
         "xyz": pts["xyz"].astype(np.float32),
