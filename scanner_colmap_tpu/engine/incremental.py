@@ -58,7 +58,11 @@ class IncrementalMapper:
         self.two_view = two_view
         self.cfg = config or MapperConfig()
         self.rec = Reconstruction()
-        self.key = jax.random.PRNGKey(seed)
+        # raw uint32 key data on the host: jax.random.PRNGKey/split would
+        # dispatch a device program per registration attempt (link latency),
+        # and a host key lets latency-adaptive solves run on the CPU backend
+        self._key_seed = np.uint32(seed)
+        self._key_ctr = 0
         self.num_reg_trials: Dict[int, int] = {}
         self._kp_norm_cache: Dict[int, np.ndarray] = {}
         if getattr(graph, "has_fast_scans", False):
@@ -96,8 +100,8 @@ class IncrementalMapper:
     # helpers
     # ------------------------------------------------------------------
     def _next_key(self):
-        self.key, k = jax.random.split(self.key)
-        return k
+        self._key_ctr += 1
+        return np.array([self._key_seed, np.uint32(self._key_ctr)], np.uint32)
 
     def _cam_arrays(self, image_id):
         cam = self.rec.cameras[self.rec.images[image_id].camera_id]
@@ -222,11 +226,16 @@ class IncrementalMapper:
         valid[: len(xn)] = True
 
         thr = self.cfg.abs_pose_max_error / self._focal(image_id)
-        # packed upload [x3d, xn, valid] + packed download: one transfer each
+        # packed upload [x3d, xn, valid] + packed download: one transfer each.
+        # Small batches run on the in-process CPU backend (call_small):
+        # measured 25 ms there vs ~40-50 ms of pure link latency on a
+        # tunneled TPU; large batches go to the device where the MXU wins.
         packed_in = np.concatenate(
             [x3d_p, xn_p, valid[:, None].astype(np.float64)], axis=1)
-        out = np.asarray(pnp.pnp_ransac_packed_cols(
-            self._next_key(), jnp.asarray(packed_in), jnp.asarray(thr),
+        solver = (pnp.pnp_ransac_packed_cols.call_small if N <= 1024
+                  else pnp.pnp_ransac_packed_cols)
+        out = np.asarray(solver(
+            self._next_key(), packed_in, np.float64(thr),
             min_num_inliers=min(self.cfg.abs_pose_min_num_inliers,
                                 max(6, len(corr2d3d) // 2)),
             min_inlier_ratio=self.cfg.abs_pose_min_inlier_ratio))
@@ -389,9 +398,12 @@ class IncrementalMapper:
         thr_pad = np.full(B, 1e-3)
         thr_pad[: len(tracks)] = thr_n
 
-        out = np.asarray(triangulate.triangulate_tracks_packed(
-            jnp.asarray(data), jnp.asarray(thr_pad),
-            jnp.asarray(math.radians(self.cfg.min_tri_angle_deg))))
+        # latency-adaptive: small track batches solve on the host CPU backend
+        # in ~6 ms vs ~35 ms of link latency per device dispatch
+        tri = (triangulate.triangulate_tracks_packed.call_small if B <= 4096
+               else triangulate.triangulate_tracks_packed)
+        out = np.asarray(tri(
+            data, thr_pad, np.float64(math.radians(self.cfg.min_tri_angle_deg))))
         xyz = out[:, 0:3]
         ok = out[:, 3] > 0.5
         view_ok = out[:, 4:] > 0.5

@@ -465,22 +465,25 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
 
 def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
                                  max_iterations: int = 25, chunk: int = 1024,
-                                 segment: int = 16,
+                                 segment: int = 0,
                                  function_tolerance: float = 1e-6,
                                  segment_improvement_tol: float = 1e-3):
     """Host driver over fixed-size `bundle_adjust_flat` segments.
 
     The in-graph LM loop has a STATIC trip count (a data-dependent while
     costs a host sync per iteration on remote backends — see bundle_adjust).
-    Bucketing the requested cap to one big static count wastes device time:
-    most solves converge in well under 16 iterations but a 64-trip program
-    still executes 64 masked trials. Instead: run 16-trip segments and let
-    the HOST decide to continue — converged segments report
-    iterations < segment and stop. One extra round trip per continuation,
-    ~segment saved trials per early stop; also exactly ONE compiled program
-    per problem shape instead of one per iteration bucket.
+    segment=0 (default) runs ALL max_iterations as ONE device program:
+    measured on v5e, a 64-trip solve at mapping-window sizes costs the same
+    wall time as a 16-trip one (~50 ms, all link latency — masked converged
+    trials are sub-ms), so continuation round trips only ever LOSE time.
+    A positive segment restores host-continued fixed-size segments with
+    damping carry-over and size escalation — the right trade when per-trip
+    device cost rivals link latency (very large global solves).
     """
     import numpy as np
+
+    if segment <= 0:
+        segment = max(int(max_iterations), 1)
 
     cam_in = np.asarray(cam_in, np.float32).copy()
     pt_in = np.asarray(pt_in, np.float32).copy()

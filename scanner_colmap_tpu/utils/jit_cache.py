@@ -143,6 +143,31 @@ class _PersistentJit:
         return exe(*args, **{k: v for k, v in kwargs.items()
                              if k not in self._static})
 
+    def call_small(self, *args, **kwargs):
+        """Latency-adaptive dispatch: run on the in-process CPU backend.
+
+        Remote/tunneled TPU backends cost ~30-80 ms of link latency per
+        dispatch; solves far below the MXU crossover (small PnP/triangulation
+        batches in the mapper's inner loop) finish in single-digit ms on the
+        host. The caller decides 'small' — this just executes the SAME jitted
+        function under the CPU backend, falling back to the default device
+        when no CPU backend exists or anything fails.
+        """
+        import jax
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return self(*args, **kwargs)
+        if jax.devices()[0].platform == "cpu":
+            return self(*args, **kwargs)
+        try:
+            with jax.default_device(cpu):
+                return self._get_jit()(*args, **kwargs)
+        except Exception as e:
+            log.info("cpu dispatch failed (%s); using default device", e)
+            return self(*args, **kwargs)
+
     def _load_or_compile(self, key, args, kwargs):
         from jax.experimental.serialize_executable import (
             deserialize_and_load, serialize)
