@@ -144,6 +144,10 @@ def pack_bundle_flat(
     """
     image_ids = [i for i in image_ids if rec.images[i].registered]
     M = next_pow2(max(len(image_ids), 1), min_images)
+    # a track cannot hold more observations than there are images in the
+    # window; clamping T halves the dominant upload (obs_in) for the local
+    # 8-image refinement windows that make up most solves
+    max_track = min(max_track, next_pow2(max(len(image_ids), 1), 4))
 
     # gather observations from the per-image assignment arrays (vectorized;
     # scanning every model point's track per call made packing the mapping

@@ -165,24 +165,40 @@ class Reconstruction:
         else:
             pids = np.asarray([p for p in point_ids if p in pts], np.int64)
         xyz = np.empty((len(pids), 3))
-        obs_pt, obs_img, obs_kp = [], [], []
-        img_index: Dict[int, int] = {}
-        img_list: List[int] = []
+        if len(pids) == 0:
+            z = np.zeros(0, np.int64)
+            return pids, xyz, z, z, z, []
         for i, pid in enumerate(pids):
-            pt = pts[pid]
-            xyz[i] = pt.xyz
-            for (iid, kp) in pt.track:
-                s = img_index.get(iid)
-                if s is None:
-                    s = len(img_list)
-                    img_index[iid] = s
-                    img_list.append(iid)
-                obs_pt.append(i)
-                obs_img.append(s)
-                obs_kp.append(kp)
-        return (pids, xyz, np.asarray(obs_pt, np.int64),
-                np.asarray(obs_img, np.int64), np.asarray(obs_kp, np.int64),
-                img_list)
+            xyz[i] = pts[pid].xyz
+        # observations from the per-image assignment arrays (they mirror the
+        # track lists exactly): vectorized per image instead of a Python loop
+        # over every track entry — this ran 100+ times per cluster solve
+        sort = np.argsort(pids, kind="stable")
+        pids_sorted = pids[sort]
+        obs_pt_l, obs_img_l, obs_kp_l = [], [], []
+        img_list: List[int] = []
+        for iid, im in self.images.items():
+            kps = np.flatnonzero(im.point3D_ids >= 0)
+            if len(kps) == 0:
+                continue
+            p = im.point3D_ids[kps]
+            pos = np.searchsorted(pids_sorted, p)
+            ok = (pos < len(pids_sorted))
+            ok &= pids_sorted[np.minimum(pos, len(pids_sorted) - 1)] == p
+            if not ok.any():
+                continue
+            s = len(img_list)
+            img_list.append(iid)
+            obs_pt_l.append(sort[pos[ok]])
+            obs_img_l.append(np.full(int(ok.sum()), s, np.int64))
+            obs_kp_l.append(kps[ok])
+        if obs_pt_l:
+            obs_pt = np.concatenate(obs_pt_l)
+            obs_img = np.concatenate(obs_img_l)
+            obs_kp = np.concatenate(obs_kp_l)
+        else:
+            obs_pt = obs_img = obs_kp = np.zeros(0, np.int64)
+        return (pids, xyz, obs_pt, obs_img, obs_kp, img_list)
 
     def compute_reprojection_errors(self, point_ids=None) -> None:
         """Recompute per-point mean reprojection error from current geometry.
