@@ -22,8 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "true"
 # persistent compile cache: the suite is compile-dominated on CPU; repeat
-# runs hit the cache (safe here — the axon compile hook is already removed)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# runs hit the cache. The dir must be SPLIT by whether the axon compile hook
+# is active: its remote CPU compiles carry machine features the local host
+# lacks (prefer-no-scatter/gather), and loading them back in the clean
+# re-exec'd process risks SIGILL (cpu_aot_loader warns on every load).
+_cache_suffix = "_axon" if os.environ.get("PALLAS_AXON_POOL_IPS") else ""
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/jax_test_cache{_cache_suffix}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 _NEEDS_REEXEC = (
@@ -42,6 +47,10 @@ def pytest_configure(config):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env["_SCT_TESTS_REEXEC"] = "1"
+    # the clean process must NOT share a compile cache with axon-hooked
+    # processes (machine-feature mismatch, see header comment)
+    if env.get("JAX_COMPILATION_CACHE_DIR") == "/tmp/jax_test_cache_axon":
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
     args = [sys.executable, "-m", "pytest"] + list(config.invocation_params.args)
     sys.stdout.flush()
     sys.stderr.flush()
