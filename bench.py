@@ -118,7 +118,7 @@ def main():
     if os.environ.get("BENCH_DENSE", "1") != "0":
         cfg.patch_match.max_image_size = 192
         cfg.patch_match.overlap = 4
-        cfg.patch_match.num_iterations = 5
+        cfg.patch_match.num_iterations = 7
         log("dense (warmup)")
         stages.run_prepare_patch_match(cfg, store)
         stages.run_patch_match(cfg, store)

@@ -284,19 +284,33 @@ def _plane_costs_field(problem, xx, yy, xn, yn, depth, n_over, Rm, tm, Ks,
         + Ks[:, 0, 2][:, None, None]
     py = Ks[:, 1, 1][:, None, None] * (h[..., 1] / hz) \
         + Ks[:, 1, 2][:, None, None]
-    warped, inb = jax.vmap(_bilinear)(problem.src_images, px, py)
-    src_ok = (inb & (hz > 1e-9)).astype(dtype)                # (S, H, W)
-
-    # source gradient images (central differences), warped with the SAME
-    # coordinates — 3 gathers per candidate total, not one per offset
+    # ONE nearest-index gather of a packed [value, gx, gy] field per source
+    # per candidate (slice_size (1,1,3): one contiguous fetch), then a
+    # first-order correction to the exact continuous coordinates — replaces
+    # 3 separate bilinear gathers (12 taps) with the same first-order
+    # interpolation accuracy. Gather taps are the entire PatchMatch budget
+    # on TPU, so tap count is wall time.
     def grad_xy(img):
         gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
         gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
         return gx, gy
 
     sgx, sgy = jax.vmap(grad_xy)(problem.src_images)
-    wgx, _ = jax.vmap(_bilinear)(sgx, px, py)
-    wgy, _ = jax.vmap(_bilinear)(sgy, px, py)
+    pack = jnp.stack([problem.src_images, sgx, sgy], axis=-1)  # (S, H, W, 3)
+
+    def sample_pack(field, x, y):
+        Hs, Ws = field.shape[:2]
+        xi = jnp.clip(jnp.round(x), 0, Ws - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(y), 0, Hs - 1).astype(jnp.int32)
+        inb = (x >= 0.0) & (x <= Ws - 1.0) & (y >= 0.0) & (y <= Hs - 1.0)
+        smp = field[yi, xi]                                    # (H, W, 3)
+        return smp, inb, xi.astype(field.dtype), yi.astype(field.dtype)
+
+    smp, inb, xi_f, yi_f = jax.vmap(sample_pack)(pack, px, py)
+    wgx = smp[..., 1]
+    wgy = smp[..., 2]
+    warped = smp[..., 0] + wgx * (px - xi_f) + wgy * (py - yi_f)
+    src_ok = (inb & (hz > 1e-9)).astype(dtype)                # (S, H, W)
 
     geom_cost = None
     if src_depths is not None:

@@ -111,7 +111,10 @@ class PatchMatchConfig:
     """PatchMatch stereo (reference options patch_match.cc:74-102)."""
     overlap: int = 5                    # ref CLI default 10 source views
     window_radius: int = 5
-    num_iterations: int = 5
+    num_iterations: int = 7             # Jacobi propagation moves 1-3 px per
+                                        # sweep; 7 sweeps of the nearest-tap
+                                        # field sampler beat 5 bilinear ones
+                                        # on both density and wall time
     sampling: str = "field"             # "field": gradient-corrected field
                                         # warp, 1 gather/candidate (19x
                                         # faster on TPU); "exact": COLMAP's
