@@ -448,8 +448,15 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
     params = BundleParams(qvec=cam_in[:, 0:4], tvec=cam_in[:, 4:7],
                           log_f=cam_in[:, 7], k1=cam_in[:, 8],
                           xyz=pt_in[:, 0:3])
-    obs = BundleObs(cam_idx=obs_in[..., 0].astype(jnp.int32),
-                    uv=obs_in[..., 1:3], valid=obs_in[..., 3] > 0.5)
+    if obs_in.dtype == jnp.uint16:
+        # quantized wire format: [cam_idx, u*16, v*16, valid] — halves the
+        # dominant per-solve upload; 1/16 px is far below keypoint noise
+        obs = BundleObs(cam_idx=obs_in[..., 0].astype(jnp.int32),
+                        uv=obs_in[..., 1:3].astype(jnp.float32) * (1.0 / 16.0),
+                        valid=obs_in[..., 3] > 0)
+    else:
+        obs = BundleObs(cam_idx=obs_in[..., 0].astype(jnp.int32),
+                        uv=obs_in[..., 1:3], valid=obs_in[..., 3] > 0.5)
     cfg = BundleConfig(
         cc=cam_in[:, 9:11], cam_valid=cam_in[:, 11] > 0.5,
         pose_free=cam_in[:, 12:18], pt_valid=pt_in[:, 3] > 0.5,
