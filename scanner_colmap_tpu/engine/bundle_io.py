@@ -202,8 +202,11 @@ def pack_bundle_flat(
 
     pt_in = np.zeros((P, 4), np.float32)
     # quantized uint16 obs wire format (see bundle_adjust_flat): halves the
-    # dominant upload of every solve on thin links
-    obs_in = np.zeros((P, max_track, 4), np.uint16)
+    # dominant upload of every solve on thin links. Keypoints are in-image
+    # and non-negative; fall back to f32 for >4095 px frames (8K stills)
+    quantize = (len(obs_uv) == 0 or float(obs_uv.max(initial=0.0)) < 4095.0)
+    obs_in = np.zeros((P, max_track, 4),
+                      np.uint16 if quantize else np.float32)
     if point_ids:
         xyz = np.stack([rec.points3D[pid].xyz for pid in point_ids])
         pt_in[: len(point_ids), 0:3] = xyz
@@ -220,8 +223,12 @@ def pack_bundle_flat(
         keep = pos < max_track
         rows, cols = o_pt_s[keep], pos[keep]
         obs_in[rows, cols, 0] = obs_slot[order][keep]
-        obs_in[rows, cols, 1:3] = np.clip(
-            np.round(obs_uv[order][keep] * 16.0), 0, 65535).astype(np.uint16)
+        if quantize:
+            obs_in[rows, cols, 1:3] = np.clip(
+                np.round(obs_uv[order][keep] * 16.0), 0, 65535
+            ).astype(np.uint16)
+        else:
+            obs_in[rows, cols, 1:3] = obs_uv[order][keep]
         obs_in[rows, cols, 3] = 1
 
     meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}

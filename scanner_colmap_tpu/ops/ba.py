@@ -450,7 +450,9 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
                           xyz=pt_in[:, 0:3])
     if obs_in.dtype == jnp.uint16:
         # quantized wire format: [cam_idx, u*16, v*16, valid] — halves the
-        # dominant per-solve upload; 1/16 px is far below keypoint noise
+        # dominant per-solve upload; 1/16 px is far below keypoint noise.
+        # Valid ONLY for in-image coordinates (0 <= uv < 4096 px — always
+        # true for detected keypoints); out-of-range uv must use f32
         obs = BundleObs(cam_idx=obs_in[..., 0].astype(jnp.int32),
                         uv=obs_in[..., 1:3].astype(jnp.float32) * (1.0 / 16.0),
                         valid=obs_in[..., 3] > 0)

@@ -142,3 +142,48 @@ def test_ba_invalid_points_untouched(rng):
     cfg = cfg._replace(pt_valid=jnp.asarray(pt_valid))
     p_out, _ = ba.bundle_adjust(params, obs, cfg, max_iterations=5, chunk=32)
     assert np.allclose(np.asarray(p_out.xyz[10:20]), np.asarray(params.xyz[10:20]))
+
+
+def test_flat_quantized_obs_matches_f32(rng):
+    """uint16 1/16-px quantized obs wire format solves to the same optimum
+    as the f32 format (noise floor is far above the quantization step)."""
+    params, obs, cfg, _ = make_bundle_problem(rng, noise_px=0.3)
+    M = params.qvec.shape[0]
+    P = params.xyz.shape[0]
+    cam_in = np.zeros((M, ba.NUM_CAM_IN), np.float32)
+    cam_in[:, 0:4] = np.asarray(params.qvec)
+    cam_in[:, 4:7] = np.asarray(params.tvec)
+    cam_in[:, 7] = np.asarray(params.log_f)
+    cam_in[:, 8] = np.asarray(params.k1)
+    cam_in[:, 9:11] = np.asarray(cfg.cc)
+    cam_in[:, 11] = 1.0
+    cam_in[:, 12:18] = np.asarray(ba.make_pose_free(M, fixed_full=[0],
+                                                    fixed_tvec0=[1]))
+    cam_in[:, 18] = np.asarray(params.log_f)
+    pt_in = np.concatenate([np.asarray(params.xyz),
+                            np.ones((P, 1))], 1).astype(np.float32)
+    uv = np.asarray(obs.uv)
+    # the uint16 format requires in-image coordinates (real keypoints always
+    # are); mask the synthetic out-of-frame projections in BOTH formats
+    valid = (np.asarray(obs.valid) & (uv >= 0).all(-1) & (uv < 4000).all(-1))
+    obs_f32 = np.concatenate([
+        np.asarray(obs.cam_idx, np.float32)[..., None], uv,
+        valid.astype(np.float32)[..., None]], -1).astype(np.float32)
+    obs_u16 = np.zeros(obs_f32.shape, np.uint16)
+    obs_u16[..., 0] = np.asarray(obs.cam_idx)
+    obs_u16[..., 1:3] = np.clip(np.round(uv * 16.0), 0, 65535)
+    obs_u16[..., 3] = valid
+    scal = np.asarray([0, 0, 4.0], np.float32)
+    out_a = np.asarray(ba.bundle_adjust_flat(cam_in, pt_in, obs_f32, scal,
+                                             max_iterations=20, chunk=64))
+    out_b = np.asarray(ba.bundle_adjust_flat(cam_in, pt_in, obs_u16, scal,
+                                             max_iterations=20, chunk=64))
+    # final mean reprojection errors agree to well under the noise level
+    r_a = out_a[M * 9 + P * 3 + 3]
+    r_b = out_b[M * 9 + P * 3 + 3]
+    assert r_a < 1.0 and r_b < 1.0
+    assert abs(r_a - r_b) < 0.05, (r_a, r_b)
+    # optimized points agree closely
+    xa = out_a[M * 9: M * 9 + P * 3]
+    xb = out_b[M * 9: M * 9 + P * 3]
+    assert np.percentile(np.abs(xa - xb), 95) < 0.01

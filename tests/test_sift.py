@@ -105,3 +105,23 @@ def test_descriptors_to_uint8_roundtrip():
     u8 = np.asarray(sift.descriptors_to_uint8(d))
     assert u8.dtype == np.uint8
     assert np.all(u8 == np.round(512 / np.sqrt(128)))
+
+
+def test_extract_patches_matches_direct_slicing():
+    """Patch block extraction (the TPU-first gather) equals direct numpy
+    slicing, including corner clamping at image borders."""
+    rng = np.random.default_rng(0)
+    maps = rng.normal(size=(3, 64, 80)).astype(np.float32)
+    yx = np.array([[32.2, 40.6],    # interior
+                   [0.9, 1.2],      # top-left corner (clamps)
+                   [63.0, 79.0]])   # bottom-right corner (clamps)
+    si = np.array([0, 1, 2], np.int32)
+    P = 32
+    patches, rel = sift.extract_patches(
+        jnp.asarray(maps), jnp.asarray(si), jnp.asarray(yx), P)
+    patches, rel = np.asarray(patches), np.asarray(rel)
+    for k in range(3):
+        cy = int(np.clip(round(yx[k, 0]) - P // 2, 0, 64 - P))
+        cx = int(np.clip(round(yx[k, 1]) - P // 2, 0, 80 - P))
+        assert np.array_equal(patches[k], maps[si[k], cy:cy + P, cx:cx + P])
+        assert np.allclose(rel[k], yx[k] - [cy, cx])

@@ -151,3 +151,21 @@ def test_estimate_multiple_two_motions(rng):
     assert not np.any(masks[0] & masks[1])
     # first model should dominate the larger motion group (120 pts)
     assert n_inl[0] >= 60
+
+
+def test_null_vec_fast_matches_eigh(rng):
+    """MGS null vector (solve-free trial path) agrees with exact eigh on
+    batched 8x9 minimal systems."""
+    import jax.numpy as jnp
+
+    # random rank-8 systems with a known null vector
+    v_gt = rng.normal(size=(64, 9))
+    v_gt /= np.linalg.norm(v_gt, axis=-1, keepdims=True)
+    B = rng.normal(size=(64, 8, 9))
+    # project rows orthogonal to v_gt -> v_gt is the exact null vector
+    A = B - np.einsum("bkj,bj,bi->bki", B, v_gt, v_gt)
+    v = np.asarray(two_view._null_vec_fast(jnp.asarray(A)))
+    align = np.abs(np.einsum("bi,bi->b", v, v_gt))
+    assert np.all(align > 0.999), align.min()
+    resid = np.linalg.norm(np.einsum("bki,bi->bk", A, v), axis=-1)
+    assert np.max(resid) < 1e-4
