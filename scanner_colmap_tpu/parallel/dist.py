@@ -196,3 +196,76 @@ def run_mapping_distributed(cfg, store=None):
         }, meta={"stage": "mapping", "num_hosts": n})
     barrier_via_store(store, "mapping_merged")
     return len(mine)
+
+
+def run_extraction_distributed(cfg, store=None):
+    """Multi-host variant of the extraction stage: each host extracts its
+    round-robin share of frames into `extraction_shard_<pid>`; host 0
+    concatenates shards (ordered by image_id) into `extraction`."""
+    import numpy as np
+
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = store or ArtifactStore(cfg.store_path)
+    pid, n = process_info()
+    stages.run_extraction(cfg, store, frame_slice=(pid, n),
+                          out_table=f"extraction_shard_{pid}")
+    barrier_via_store(store, "extraction_done")
+    if pid == 0:
+        merged = {"image_id": [], "keypoints": [], "descriptors": [],
+                  "camera": []}
+        for i in range(n):
+            t = store.read_table(f"extraction_shard_{i}")
+            merged["image_id"].extend(int(x) for x in t["image_id"])
+            merged["keypoints"].extend(np.asarray(k) for k in t["keypoints"])
+            merged["descriptors"].extend(np.asarray(d)
+                                         for d in t["descriptors"])
+            merged["camera"].extend(np.asarray(c) for c in t["camera"])
+        order = np.argsort(merged["image_id"])
+        store.write_table("extraction", {
+            "image_id": np.asarray(merged["image_id"], np.int64)[order],
+            "keypoints": [merged["keypoints"][i] for i in order],
+            "descriptors": [merged["descriptors"][i] for i in order],
+            "camera": np.stack([merged["camera"][i] for i in order]),
+        }, meta={"stage": "extraction", "num_hosts": n})
+    barrier_via_store(store, "extraction_merged")
+    return store.num_rows("extraction") if pid == 0 else None
+
+
+def run_patch_match_distributed(cfg, store=None):
+    """Multi-host variant of the PatchMatch stage: each host computes a
+    CONTIGUOUS block of reference images (the block is halo-extended by the
+    source-view window so the geometric-consistency pass finds its
+    neighbors' pass-1 depth maps locally — recompute beats a cross-host
+    depth-bank exchange at window sizes) and writes
+    `patch_match_shard_<pid>`; host 0 concatenates shards."""
+    import numpy as np
+
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = store or ArtifactStore(cfg.store_path)
+    pid, n = process_info()
+    stages.run_patch_match(cfg, store, ref_slice=(pid, n),
+                           out_table=f"patch_match_shard_{pid}")
+    barrier_via_store(store, "patch_match_done")
+    if pid == 0:
+        merged = {"image_id": [], "depth_map": [], "normal_map": [],
+                  "cost_map": []}
+        for i in range(n):
+            t = store.read_table(f"patch_match_shard_{i}")
+            merged["image_id"].extend(int(x) for x in t["image_id"])
+            merged["depth_map"].extend(np.asarray(d) for d in t["depth_map"])
+            merged["normal_map"].extend(np.asarray(d)
+                                        for d in t["normal_map"])
+            merged["cost_map"].extend(np.asarray(d) for d in t["cost_map"])
+        order = np.argsort(merged["image_id"])
+        store.write_table("patch_match", {
+            "image_id": np.asarray(merged["image_id"], np.int64)[order],
+            "depth_map": [merged["depth_map"][i] for i in order],
+            "normal_map": [merged["normal_map"][i] for i in order],
+            "cost_map": [merged["cost_map"][i] for i in order],
+        }, meta={"stage": "patch_match", "num_hosts": n})
+    barrier_via_store(store, "patch_match_merged")
+    return store.num_rows("patch_match") if pid == 0 else None

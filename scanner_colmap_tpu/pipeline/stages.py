@@ -265,8 +265,13 @@ def _extract_video_frames(video_path: str, out_dir: str, stride: int = 1,
 # ---------------------------------------------------------------------------
 
 def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
-                   batch_size: int = 4):
+                   batch_size: int = 4,
+                   frame_slice: Optional[tuple] = None,
+                   out_table: str = "extraction"):
     """SIFT + EXIF camera init per image (reference extraction_op.cc).
+
+    frame_slice=(k, nproc): extract only every nproc-th frame starting at k
+    (multi-host sharding — parallel/dist.py merges the shard tables).
 
     Device work is batched: images decode on host, then a BATCH extracts in
     ONE device dispatch (lax.map over the batch inside jit) — essential when
@@ -282,6 +287,12 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     store = store or ArtifactStore(cfg.store_path)
     frames = store.read_table("frames")
     paths = [p.decode() for p in frames["path"]]
+    frame_ids = np.asarray(frames["image_id"], np.int64)
+    if frame_slice is not None:
+        k_sh, nproc = frame_slice
+        sel = list(range(len(paths)))[k_sh::nproc]
+        paths = [paths[i] for i in sel]
+        frame_ids = frame_ids[sel]
     s = cfg.sift
     canvas = (_round_up(cfg.sift.max_image_size, 128),) * 2
 
@@ -342,8 +353,8 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             cam_rows.append(np.concatenate([
                 [model_id, w, h, 1.0 if prior else 0.0, item["scale"]], params]))
             num_feats.append(len(kp))
-    store.write_table("extraction", {
-        "image_id": frames["image_id"],
+    store.write_table(out_table, {
+        "image_id": frame_ids,
         "keypoints": keypoints,
         "descriptors": descriptors,
         "camera": np.stack(cam_rows),
@@ -847,15 +858,23 @@ def cam_scale_of(store: ArtifactStore, iid: int) -> float:
 # stage 7: patch_match
 # ---------------------------------------------------------------------------
 
-def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
+def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                    ref_slice: Optional[tuple] = None,
+                    out_table: str = "patch_match"):
     """PatchMatch depth/normals per reference image with a window of source
-    views (reference patch_match.py stencil + patch_match.cc)."""
+    views (reference patch_match.py stencil + patch_match.cc).
+
+    ref_slice=(k, nproc): compute only the k-th CONTIGUOUS block of
+    reference images (multi-host sharding — parallel/dist.py). The block is
+    extended by the source-view window so the geometric-consistency pass
+    has its neighbors' pass-1 depth maps locally (halo recompute instead of
+    a cross-host exchange); only the core block is written out."""
     store = store or ArtifactStore(cfg.store_path)
     tab = store.read_table("prepare_patch_match")
     pm = cfg.patch_match
     n = len(tab["image_id"])
     if n == 0:
-        store.write_table("patch_match", {
+        store.write_table(out_table, {
             "image_id": np.zeros(0, np.int64), "depth_map": [],
             "normal_map": [], "cost_map": []},
             meta={"stage": "patch_match"})
@@ -871,6 +890,17 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
     S = pm.overlap
     key = jax.random.PRNGKey(1)
     t0 = time.time()
+
+    # host shard: core block of refs to OUTPUT, halo-extended set to COMPUTE
+    if ref_slice is not None:
+        k_blk, nproc = ref_slice
+        bounds = np.linspace(0, n, nproc + 1).astype(int)
+        core = set(range(bounds[k_blk], bounds[k_blk + 1]))
+        halo = max(0, S // 2 + S % 2)
+        compute = set(range(max(0, bounds[k_blk] - halo),
+                            min(n, bounds[k_blk + 1] + halo)))
+    else:
+        core = compute = set(range(n))
 
     def window(ref):
         # source views: the stencil window around ref (reference uses the
@@ -911,7 +941,8 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             depth_max=jnp.asarray(np.float32(tab["depth_max"][ref])),
             src_valid=jnp.asarray(src_valid))
 
-    def run_pass(depth_bank=None, normal_bank=None, cost_bank=None):
+    def run_pass(depth_bank=None, normal_bank=None, cost_bank=None,
+                 refs=None, pass_idx=0):
         """One sweep over all ref images. With banks (canvas-res pass-1
         results), runs the geom-consistency pass: source depth maps feed
         the forward-backward term, pass-1 depth/normal warm-start.
@@ -919,7 +950,6 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         PIPELINED: jax dispatch is async, so problems are dispatched ahead
         (bounded in-flight window) and results downloaded in order — host
         problem assembly, device compute, and downloads overlap."""
-        nonlocal key
         d_out = [None] * n
         n_out = [None] * n
         c_out = [None] * n
@@ -939,7 +969,7 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             n_out[ref] = np.stack([nx, ny, nz], axis=-1)
             c_out[ref] = packed[..., 3]
 
-        for ref in range(n):
+        for ref in (sorted(refs) if refs is not None else range(n)):
             kwargs = {}
             if depth_bank is not None:
                 if depth_bank[ref] is None:
@@ -954,7 +984,9 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
                               init_depth=jnp.asarray(depth_bank[ref]),
                               init_normal=jnp.asarray(normal_bank[ref]))
             problem = build_problem(ref)
-            key, k = jax.random.split(key)
+            # per-ref key by fold_in, NOT sequential splits: depth maps stay
+            # bitwise identical regardless of host sharding / ref subsets
+            k = jax.random.fold_in(jax.random.fold_in(key, pass_idx), ref)
             try:
                 depth, normal, cost = pm_ops.patch_match(
                     k, problem, num_iterations=pm.num_iterations,
@@ -980,13 +1012,14 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
             drain(*item)
         return d_out, n_out, c_out
 
-    d_bank, n_bank, c_bank = run_pass()
+    d_bank, n_bank, c_bank = run_pass(refs=compute)
     if pm.geom_consistency:
         # COLMAP's second PatchMatch pass: photometric + geometric cost
-        d_bank, n_bank, c_bank = run_pass(d_bank, n_bank, c_bank)
+        d_bank, n_bank, c_bank = run_pass(d_bank, n_bank, c_bank, refs=core,
+                                          pass_idx=1)
 
     depth_maps, normal_maps, cost_maps, out_ids = [], [], [], []
-    for ref in range(n):
+    for ref in sorted(core):
         if d_bank[ref] is None:
             continue
         h, w = int(tab["height"][ref]), int(tab["width"][ref])
@@ -994,7 +1027,7 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         normal_maps.append(n_bank[ref][:h, :w])
         cost_maps.append(c_bank[ref][:h, :w])
         out_ids.append(int(tab["image_id"][ref]))
-    store.write_table("patch_match", {
+    store.write_table(out_table, {
         "image_id": np.asarray(out_ids, np.int64),
         "depth_map": depth_maps,
         "normal_map": normal_maps,

@@ -70,7 +70,9 @@ class MapperConfig:
     min_tri_angle_deg: float = 1.5      # triangulation filter
     filter_max_reproj_error: float = 4.0
     max_reg_trials: int = 3
-    cluster_workers: int = 4            # concurrent cluster control planes
+    cluster_workers: int = 8            # concurrent cluster control planes
+                                        # (threads overlap per-solve link
+                                        # latency; numpy releases the GIL)
                                         # (device compute still serializes;
                                         # this overlaps host<->device latency)
     # intrinsic-prior strength in BA (pulls focal to its init and k1 to 0;

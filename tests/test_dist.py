@@ -99,3 +99,80 @@ def test_run_matching_distributed_single_process(tmp_path, rng):
     pa = np.asarray(a["pair_image_ids"]).reshape(-1, 2)
     pb = np.asarray(b["pair_image_ids"]).reshape(-1, 2)
     assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
+
+
+def _tiny_pipeline(tmp_path, with_dense=False):
+    from scanner_colmap_tpu.pipeline import stages, synth
+    from scanner_colmap_tpu.utils.config import PipelineConfig
+
+    d = str(tmp_path / "imgs")
+    synth.generate_dataset(d, num_images=6, width=256, height=192,
+                           num_blobs=250, seed=2)
+    cfg = PipelineConfig()
+    cfg.image_path = d
+    cfg.store_path = str(tmp_path / "store")
+    cfg.sift.max_image_size = 256
+    cfg.sift.max_num_features = 384
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 3
+    cfg.matching.min_num_inliers = 12
+    cfg.mapper.cluster_size = 6
+    cfg.mapper.cluster_overlap = 2
+    cfg.mapper.init_min_num_inliers = 20
+    cfg.mapper.abs_pose_min_num_inliers = 12
+    store = ArtifactStore(cfg.store_path)
+    stages.prepare_images(cfg, store)
+    return cfg, store
+
+
+def test_extraction_shards_cover_and_match_full(tmp_path, rng):
+    """2-way frame shards partition the frame set and reproduce the
+    unsharded stage's keypoints exactly."""
+    from scanner_colmap_tpu.pipeline import stages
+
+    cfg, store = _tiny_pipeline(tmp_path)
+    stages.run_extraction(cfg, store)  # full reference
+    stages.run_extraction(cfg, store, frame_slice=(0, 2), out_table="ex_s0")
+    stages.run_extraction(cfg, store, frame_slice=(1, 2), out_table="ex_s1")
+    full = store.read_table("extraction")
+    s0 = store.read_table("ex_s0")
+    s1 = store.read_table("ex_s1")
+    ids_full = [int(i) for i in full["image_id"]]
+    ids_sh = [int(i) for i in s0["image_id"]] + [int(i) for i in s1["image_id"]]
+    assert sorted(ids_sh) == sorted(ids_full)
+    # per-image keypoints identical between full and sharded extraction
+    by_id = {int(i): np.asarray(full["keypoints"][k])
+             for k, i in enumerate(full["image_id"])}
+    for t in (s0, s1):
+        for k, i in enumerate(t["image_id"]):
+            assert np.array_equal(np.asarray(t["keypoints"][k]), by_id[int(i)])
+
+
+def test_patch_match_shards_match_full(tmp_path, rng):
+    """2-way contiguous ref blocks with window halo reproduce the unsharded
+    depth maps bitwise (per-ref fold_in keys make sharding invisible)."""
+    from scanner_colmap_tpu.pipeline import stages
+
+    cfg, store = _tiny_pipeline(tmp_path)
+    stages.run_extraction(cfg, store)
+    stages.run_matching(cfg, store)
+    stages.run_mapping(cfg, store)
+    stages.run_merge(cfg, store)
+    cfg.patch_match.max_image_size = 128
+    cfg.patch_match.overlap = 2
+    cfg.patch_match.num_iterations = 2
+    stages.run_prepare_patch_match(cfg, store)
+    n_full = stages.run_patch_match(cfg, store)
+    assert n_full >= 2
+    stages.run_patch_match(cfg, store, ref_slice=(0, 2), out_table="pm_s0")
+    stages.run_patch_match(cfg, store, ref_slice=(1, 2), out_table="pm_s1")
+    full = store.read_table("patch_match")
+    by_id = {int(i): np.asarray(full["depth_map"][k])
+             for k, i in enumerate(full["image_id"])}
+    ids_sh = []
+    for name in ("pm_s0", "pm_s1"):
+        t = store.read_table(name)
+        for k, i in enumerate(t["image_id"]):
+            ids_sh.append(int(i))
+            assert np.array_equal(np.asarray(t["depth_map"][k]), by_id[int(i)])
+    assert sorted(ids_sh) == sorted(by_id.keys())
