@@ -144,10 +144,6 @@ def pack_bundle_flat(
     """
     image_ids = [i for i in image_ids if rec.images[i].registered]
     M = next_pow2(max(len(image_ids), 1), min_images)
-    # a track cannot hold more observations than there are images in the
-    # window; clamping T halves the dominant upload (obs_in) for the local
-    # 8-image refinement windows that make up most solves
-    max_track = min(max_track, next_pow2(max(len(image_ids), 1), 4))
 
     # gather observations from the per-image assignment arrays (vectorized;
     # scanning every model point's track per call made packing the mapping
@@ -205,8 +201,7 @@ def pack_bundle_flat(
     # dominant upload of every solve on thin links. Keypoints are in-image
     # and non-negative; fall back to f32 for >4095 px frames (8K stills)
     quantize = (len(obs_uv) == 0 or float(obs_uv.max(initial=0.0)) < 4095.0)
-    obs_in = np.zeros((P, max_track, 4),
-                      np.uint16 if quantize else np.float32)
+    obs_dtype = np.uint16 if quantize else np.float32
     if point_ids:
         xyz = np.stack([rec.points3D[pid].xyz for pid in point_ids])
         pt_in[: len(point_ids), 0:3] = xyz
@@ -220,6 +215,13 @@ def pack_bundle_flat(
         counts = np.bincount(o_pt_s, minlength=P)
         offsets = np.concatenate([[0], np.cumsum(counts)])
         pos = np.arange(len(o_pt_s)) - offsets[o_pt_s]
+        # clamp the track dim to the ACTUAL deepest track (bucketed): the
+        # obs tensor is the dominant upload, and local windows rarely need
+        # more than window-size slots — but merged tracks can observe one
+        # image at two keypoints, so the bound is measured, never assumed
+        max_track = min(max_track,
+                        next_pow2(max(int(counts.max(initial=1)), 1), 4))
+        obs_in = np.zeros((P, max_track, 4), obs_dtype)
         keep = pos < max_track
         rows, cols = o_pt_s[keep], pos[keep]
         obs_in[rows, cols, 0] = obs_slot[order][keep]
@@ -230,6 +232,8 @@ def pack_bundle_flat(
         else:
             obs_in[rows, cols, 1:3] = obs_uv[order][keep]
         obs_in[rows, cols, 3] = 1
+    else:
+        obs_in = np.zeros((P, min(max_track, 4), 4), obs_dtype)
 
     meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
     return cam_in, pt_in, obs_in, meta

@@ -232,20 +232,29 @@ def extract_patches(maps: jax.Array, scale_idx: jax.Array, yx: jax.Array,
                     P: int):
     """Slice one PxP block per keypoint from its scale layer.
 
-    maps: (S, H, W); scale_idx: (K,) int32; yx: (K, 2) continuous (y, x).
-    Returns (patches (K, P, P), rel (K, 2) keypoint position in patch
+    maps: (S, H, W) or (S, H, W, C) — a trailing channel axis rides along in
+    the same slice, so multi-field patches (e.g. stacked gx/gy) cost ONE
+    gather pass. scale_idx: (K,) int32; yx: (K, 2) continuous (y, x).
+    Returns (patches (K, P, P[, C]), rel (K, 2) keypoint position in patch
     coords). Corners clamp to the image so border patches stay in-bounds
     (samples beyond the border then clamp to edge pixels, matching the
     image-wide clamp of a scattered gather).
     """
-    S, H, W = maps.shape
+    S, H, W = maps.shape[:3]
     cy = jnp.clip(jnp.round(yx[:, 0]).astype(jnp.int32) - P // 2,
                   0, max(H - P, 0))
     cx = jnp.clip(jnp.round(yx[:, 1]).astype(jnp.int32) - P // 2,
                   0, max(W - P, 0))
+    if maps.ndim == 4:
+        C = maps.shape[3]
 
-    def one(s, y, x):
-        return jax.lax.dynamic_slice(maps, (s, y, x), (1, P, P))[0]
+        def one(s, y, x):
+            zero = jnp.zeros((), s.dtype)  # match index dtypes under x64
+            return jax.lax.dynamic_slice(maps, (s, y, x, zero),
+                                         (1, P, P, C))[0]
+    else:
+        def one(s, y, x):
+            return jax.lax.dynamic_slice(maps, (s, y, x), (1, P, P))[0]
 
     patches = jax.vmap(one)(scale_idx, cy, cx)
     rel = yx - jnp.stack([cy, cx], -1).astype(yx.dtype)
@@ -443,11 +452,13 @@ def extract(
                              num_scales - 1)
         yx = pos[:, 1:3]
         sigma_oct = init_sigma * (2.0 ** (scale_cont / num_scales))
-        # one contiguous block gather per keypoint; all windowed sampling
+        # one contiguous block gather per keypoint (gx/gy stacked on a
+        # channel axis ride in the same slice); all windowed sampling
         # (orientation + descriptor) happens inside the patch (module header)
         P = min(64, H >> o, W >> o)
-        pgx, rel = extract_patches(gx, scale_idx, yx, P)
-        pgy, _ = extract_patches(gy, scale_idx, yx, P)
+        pg, rel = extract_patches(jnp.stack([gx, gy], axis=-1),
+                                  scale_idx, yx, P)
+        pgx, pgy = pg[..., 0], pg[..., 1]
         if upright:
             theta = jnp.zeros_like(sigma_oct)
         else:

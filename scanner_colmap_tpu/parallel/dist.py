@@ -94,6 +94,33 @@ def barrier_via_store(store, name: str, timeout_s: float = 3600.0,
         time.sleep(poll_s)
 
 
+def merge_shard_tables(store, shard_prefix: str, out_table: str,
+                       sort_col: str, ragged_cols: Sequence[str] = (),
+                       stacked_cols: Sequence[str] = (), meta=None):
+    """Host-0 concatenation of per-host shard tables into the canonical
+    stage table, ordered by an integer key column (the shared tail of every
+    *_distributed stage). ragged_cols stay lists of per-row arrays;
+    stacked_cols become one (N, ...) array (empty-safe)."""
+    import numpy as np
+
+    _, n = process_info()
+    keys = []
+    cols = {c: [] for c in list(ragged_cols) + list(stacked_cols)}
+    for i in range(n):
+        t = store.read_table(f"{shard_prefix}_{i}")
+        keys.extend(int(x) for x in t[sort_col])
+        for c in cols:
+            cols[c].extend(t[c])  # keep store-native row types (arrays/bytes)
+    order = np.argsort(keys)
+    out = {sort_col: np.asarray(keys, np.int64)[order]}
+    for c in ragged_cols:
+        out[c] = [cols[c][i] for i in order]
+    for c in stacked_cols:
+        out[c] = (np.stack([cols[c][i] for i in order]) if len(order)
+                  else np.zeros((0,)))
+    store.write_table(out_table, out, meta=dict(meta or {}, num_hosts=n))
+
+
 def run_matching_distributed(cfg, store=None):
     """Multi-host variant of the matching stage: each host matches its
     round-robin slice of the PAIR SCHEDULE (the 10k-image partitioned
@@ -180,20 +207,9 @@ def run_mapping_distributed(cfg, store=None):
 
     barrier_via_store(store, "mapping_done")
     if pid == 0:
-        merged = {"cluster_id": [], "cameras": [], "images": [], "points3d": []}
-        for i in range(n):
-            t = store.read_table(f"mapping_shard_{i}")
-            merged["cluster_id"].extend(int(c) for c in t["cluster_id"])
-            merged["cameras"].extend(t["cameras"])
-            merged["images"].extend(t["images"])
-            merged["points3d"].extend(t["points3d"])
-        order = np.argsort(merged["cluster_id"])
-        store.write_table("mapping", {
-            "cluster_id": np.asarray(merged["cluster_id"], np.int64)[order],
-            "cameras": [merged["cameras"][i] for i in order],
-            "images": [merged["images"][i] for i in order],
-            "points3d": [merged["points3d"][i] for i in order],
-        }, meta={"stage": "mapping", "num_hosts": n})
+        merge_shard_tables(store, "mapping_shard", "mapping", "cluster_id",
+                           ragged_cols=("cameras", "images", "points3d"),
+                           meta={"stage": "mapping"})
     barrier_via_store(store, "mapping_merged")
     return len(mine)
 
@@ -213,22 +229,11 @@ def run_extraction_distributed(cfg, store=None):
                           out_table=f"extraction_shard_{pid}")
     barrier_via_store(store, "extraction_done")
     if pid == 0:
-        merged = {"image_id": [], "keypoints": [], "descriptors": [],
-                  "camera": []}
-        for i in range(n):
-            t = store.read_table(f"extraction_shard_{i}")
-            merged["image_id"].extend(int(x) for x in t["image_id"])
-            merged["keypoints"].extend(np.asarray(k) for k in t["keypoints"])
-            merged["descriptors"].extend(np.asarray(d)
-                                         for d in t["descriptors"])
-            merged["camera"].extend(np.asarray(c) for c in t["camera"])
-        order = np.argsort(merged["image_id"])
-        store.write_table("extraction", {
-            "image_id": np.asarray(merged["image_id"], np.int64)[order],
-            "keypoints": [merged["keypoints"][i] for i in order],
-            "descriptors": [merged["descriptors"][i] for i in order],
-            "camera": np.stack([merged["camera"][i] for i in order]),
-        }, meta={"stage": "extraction", "num_hosts": n})
+        merge_shard_tables(store, "extraction_shard", "extraction",
+                           "image_id",
+                           ragged_cols=("keypoints", "descriptors"),
+                           stacked_cols=("camera",),
+                           meta={"stage": "extraction"})
     barrier_via_store(store, "extraction_merged")
     return store.num_rows("extraction") if pid == 0 else None
 
@@ -251,21 +256,10 @@ def run_patch_match_distributed(cfg, store=None):
                            out_table=f"patch_match_shard_{pid}")
     barrier_via_store(store, "patch_match_done")
     if pid == 0:
-        merged = {"image_id": [], "depth_map": [], "normal_map": [],
-                  "cost_map": []}
-        for i in range(n):
-            t = store.read_table(f"patch_match_shard_{i}")
-            merged["image_id"].extend(int(x) for x in t["image_id"])
-            merged["depth_map"].extend(np.asarray(d) for d in t["depth_map"])
-            merged["normal_map"].extend(np.asarray(d)
-                                        for d in t["normal_map"])
-            merged["cost_map"].extend(np.asarray(d) for d in t["cost_map"])
-        order = np.argsort(merged["image_id"])
-        store.write_table("patch_match", {
-            "image_id": np.asarray(merged["image_id"], np.int64)[order],
-            "depth_map": [merged["depth_map"][i] for i in order],
-            "normal_map": [merged["normal_map"][i] for i in order],
-            "cost_map": [merged["cost_map"][i] for i in order],
-        }, meta={"stage": "patch_match", "num_hosts": n})
+        merge_shard_tables(store, "patch_match_shard", "patch_match",
+                           "image_id",
+                           ragged_cols=("depth_map", "normal_map",
+                                        "cost_map"),
+                           meta={"stage": "patch_match"})
     barrier_via_store(store, "patch_match_merged")
     return store.num_rows("patch_match") if pid == 0 else None

@@ -357,7 +357,10 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         "image_id": frame_ids,
         "keypoints": keypoints,
         "descriptors": descriptors,
-        "camera": np.stack(cam_rows),
+        # empty shard (more hosts than frames): a zero-row stack would raise
+        # BEFORE the cross-host barrier and strand every peer on its timeout
+        "camera": (np.stack(cam_rows) if cam_rows
+                   else np.zeros((0, 9), np.float64)),
     }, meta={"stage": "extraction", "config": vars(s),
              "throughput_images_per_s": len(paths) / max(time.time() - t0, 1e-9)})
     log.info("extraction: %d images, mean %.0f feats, %.2f img/s",
