@@ -155,8 +155,7 @@ class IncrementalMapper:
     def register_initial_pair(self, image_id1: int, image_id2: int) -> bool:
         tv = self.two_view[(min(image_id1, image_id2), max(image_id1, image_id2))]
         if image_id1 > image_id2:
-            qrel, trel = geom.pose_inverse(np.asarray(tv["qvec"]), np.asarray(tv["tvec"]))
-            qrel, trel = np.asarray(qrel), np.asarray(trel)
+            qrel, trel = geom.np_pose_inverse(tv["qvec"], tv["tvec"])
         else:
             qrel, trel = np.asarray(tv["qvec"]), np.asarray(tv["tvec"])
 

@@ -283,6 +283,28 @@ def np_rotmat_to_quat(R):
 # Triangulation angles
 # ----------------------------------------------------------------------------
 
+def np_quat_to_rotmat(q):
+    """Host-numpy wxyz quaternion -> rotation matrix (stage control planes:
+    the jnp version dispatches an eager device program per call)."""
+    import numpy as np
+
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def np_pose_inverse(qvec, tvec):
+    """Host-numpy inverse of a world->cam pose (q, t)."""
+    import numpy as np
+
+    q = np.asarray(qvec, np.float64)
+    qc = q * np.array([1.0, -1.0, -1.0, -1.0])
+    return qc, -np_quat_rotate(qc, np.asarray(tvec, np.float64))
+
+
 def np_angle_axis_to_quat(aa):
     """Numpy angle-axis -> quaternion (host control plane)."""
     import numpy as np

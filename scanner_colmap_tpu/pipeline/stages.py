@@ -585,8 +585,7 @@ def _build_graph(store: ArtifactStore, kp: Dict[int, np.ndarray]):
         row = np.asarray(mt["two_view_geometry"][best])
         lo, hi = min(i, j), max(i, j)
         if i > j:
-            q, t = geom.pose_inverse(row[3:7], row[7:10])
-            q, t = np.asarray(q), np.asarray(t)
+            q, t = geom.np_pose_inverse(row[3:7], row[7:10])
         else:
             q, t = row[3:7].copy(), row[7:10].copy()
         two_view[(lo, hi)] = {
@@ -826,7 +825,7 @@ def run_prepare_patch_match(cfg: PipelineConfig,
         K = _cam_K((cam.model_id, list(cam.params), cam.width, cam.height, cam.prior_focal))
         K = K * np.array([[s_mvs], [s_mvs], [1.0]])
         rows["image_id"].append(iid)
-        rows["R"].append(np.asarray(geom.quat_to_rotmat(im.qvec), np.float32).ravel())
+        rows["R"].append(geom.np_quat_to_rotmat(im.qvec).astype(np.float32).ravel())
         rows["T"].append(np.asarray(im.tvec, np.float32))
         rows["K"].append(K.astype(np.float32).ravel())
         rows["width"].append(w)
@@ -1091,7 +1090,9 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             thr += cfg.patch_match.geom_weight
         valid[n, :h, :w] = c < thr
         Rm = np.asarray(prep["R"][pidx]).reshape(3, 3)
-        qvecs[n] = np.asarray(geom.rotmat_to_quat(Rm))
+        # host numpy: the jnp version dispatches an EAGER device program per
+        # image (~60 ms of link latency each — it dominated fusion)
+        qvecs[n] = geom.np_rotmat_to_quat(Rm)
         tvecs[n] = prep["T"][pidx]
         Ks[n] = np.asarray(prep["K"][pidx]).reshape(3, 3)
 
