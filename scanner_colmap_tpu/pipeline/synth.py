@@ -35,9 +35,18 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
     # each other by many pixels per view and descriptor windows (which span
     # several features) never repeat — no descriptor could match that. Real
     # scenes are locally surface-like, which is what SIFT assumes.
-    span = depth0 * 0.9
+    # constant PER-FRAME baseline: a fixed total track length made pair
+    # baselines shrink with num_images until every two-view geometry
+    # degenerated to PLANAR_OR_PANORAMIC (~1.4 deg triangulation angles at
+    # 96 frames) and no cluster could find an initial pair. The wall grows
+    # with the track, and blob count scales with wall area so feature
+    # density per view stays constant.
+    step = 0.055 * depth0
+    track_half = 0.5 * step * max(num_images - 1, 1)
+    span = track_half + 0.9 * depth0
+    num_blobs = int(num_blobs * span / (0.9 * depth0))
     cx_ = rng.uniform(-span, span, num_blobs)
-    cy_ = rng.uniform(-span * 0.75, span * 0.75, num_blobs)
+    cy_ = rng.uniform(-depth0 * 0.675, depth0 * 0.675, num_blobs)
 
     def surface_z(x, y):
         return depth0 + depth_spread * (
@@ -67,14 +76,13 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
     gt_points = centers
 
     qs, ts = [], []
-    track_radius = depth0 * 0.45
     for i in range(num_images):
         # arc track looking inward
         frac = i / max(num_images - 1, 1) - 0.5
         yaw = -frac * 0.5
         aa = np.array([0.0, yaw, 0.0])
         q = geom.np_angle_axis_to_quat(aa)
-        C = np.array([frac * 2 * track_radius, 0.15 * np.sin(frac * 6), 0.0])
+        C = np.array([frac * 2 * track_half, 0.15 * np.sin(frac * 6), 0.0])
         t = -np.asarray(geom.np_quat_rotate(q, C))
         qs.append(q)
         ts.append(t)
