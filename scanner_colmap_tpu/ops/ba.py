@@ -481,18 +481,23 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
 
     The in-graph LM loop has a STATIC trip count (a data-dependent while
     costs a host sync per iteration on remote backends — see bundle_adjust).
-    segment=0 (default) runs ALL max_iterations as ONE device program:
-    measured on v5e, a 64-trip solve at mapping-window sizes costs the same
-    wall time as a 16-trip one (~50 ms, all link latency — masked converged
-    trials are sub-ms), so continuation round trips only ever LOSE time.
-    A positive segment restores host-continued fixed-size segments with
-    damping carry-over and size escalation — the right trade when per-trip
-    device cost rivals link latency (very large global solves).
+    segment=0 (default) picks a LATENCY-BALANCED schedule: a trip costs
+    ~1 ms per 16k observation cells on v5e while a continuation round trip
+    costs ~40 ms, so small solves run ALL max_iterations as ONE program
+    (wasted post-convergence trips are cheaper than any extra round trip)
+    and large solves use segments sized so each segment's device time
+    matches the latency it amortizes. Explicit positive segments override.
     """
     import numpy as np
 
     if segment <= 0:
-        segment = max(int(max_iterations), 1)
+        obs_cells = float(obs_in.shape[0] * obs_in.shape[1])
+        trip_ms = obs_cells * 6.5e-5   # ~1 ms per trip at 16k cells (v5e)
+        if max_iterations * trip_ms <= 80.0:
+            segment = max(int(max_iterations), 1)
+        else:
+            seg = max(int(40.0 / max(trip_ms, 1e-3)), 8)
+            segment = 1 << (seg.bit_length() - 1)  # floor pow2, >= 8
 
     cam_in = np.asarray(cam_in, np.float32).copy()
     pt_in = np.asarray(pt_in, np.float32).copy()
