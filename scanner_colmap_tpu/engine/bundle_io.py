@@ -25,107 +25,6 @@ def next_pow2(n: int, lo: int = 1) -> int:
     return v
 
 
-def pack_bundle(
-    rec: Reconstruction,
-    image_ids: Sequence[int],
-    max_track: int = 16,
-    min_images: int = 4,
-    min_points: int = 64,
-    point_ids: Optional[Sequence[int]] = None,
-    dtype=np.float64,
-):
-    """Pack cameras/points/observations for `image_ids` into BA pytrees.
-
-    Returns (params, obs, cfg, meta) where meta maps padded slots back to
-    reconstruction ids: meta = {"image_ids": [...], "point_ids": [...]}.
-
-    Points included: those whose track touches >= 2 of image_ids (or the
-    explicit point_ids). Observations outside image_ids are dropped from the
-    solve (COLMAP local BA behaves likewise, with boundary images held
-    constant — callers can include neighbors in image_ids and freeze them
-    via pose_free instead).
-    """
-    image_ids = [i for i in image_ids if rec.images[i].registered]
-    id_to_slot = {iid: s for s, iid in enumerate(image_ids)}
-    M = next_pow2(max(len(image_ids), 1), min_images)
-
-    if point_ids is None:
-        point_ids = []
-        for pid, pt in rec.points3D.items():
-            n_in = sum(1 for (i, _) in pt.track if i in id_to_slot)
-            if n_in >= 2:
-                point_ids.append(pid)
-    P = next_pow2(max(len(point_ids), 1), min_points)
-
-    qvec = np.zeros((M, 4), dtype)
-    qvec[:, 0] = 1.0
-    tvec = np.zeros((M, 3), dtype)
-    log_f = np.zeros(M, dtype)
-    k1 = np.zeros(M, dtype)
-    cc = np.zeros((M, 2), dtype)
-    cam_valid = np.zeros(M, bool)
-
-    for s, iid in enumerate(image_ids):
-        im = rec.images[iid]
-        cam = rec.cameras[im.camera_id]
-        qvec[s] = im.qvec
-        tvec[s] = im.tvec
-        fx = cam.params[0]
-        log_f[s] = np.log(max(fx, 1e-6))
-        if cam.model_id == camlib.SIMPLE_RADIAL:
-            cc[s] = cam.params[1:3]
-            k1[s] = cam.params[3]
-        elif cam.model_id == camlib.SIMPLE_PINHOLE:
-            cc[s] = cam.params[1:3]
-        elif cam.model_id == camlib.PINHOLE:
-            log_f[s] = np.log(max(0.5 * (cam.params[0] + cam.params[1]), 1e-6))
-            cc[s] = cam.params[2:4]
-        else:  # RADIAL/OPENCV: approximate with f, k1
-            cc[s] = cam.params[1:3]
-            k1[s] = cam.params[3]
-        cam_valid[s] = True
-
-    xyz = np.zeros((P, 3), dtype)
-    pt_valid = np.zeros(P, bool)
-    obs_cam = np.zeros((P, max_track), np.int32)
-    obs_uv = np.zeros((P, max_track, 2), dtype)
-    obs_valid = np.zeros((P, max_track), bool)
-
-    for ps, pid in enumerate(point_ids):
-        pt = rec.points3D[pid]
-        xyz[ps] = pt.xyz
-        pt_valid[ps] = True
-        t = 0
-        for (iid, kp) in pt.track:
-            if iid not in id_to_slot or t >= max_track:
-                continue
-            obs_cam[ps, t] = id_to_slot[iid]
-            obs_uv[ps, t] = rec.images[iid].xys[kp]
-            obs_valid[ps, t] = True
-            t += 1
-
-    params = ba.BundleParams(
-        qvec=jnp.asarray(qvec), tvec=jnp.asarray(tvec),
-        log_f=jnp.asarray(log_f), k1=jnp.asarray(k1), xyz=jnp.asarray(xyz))
-    obs = ba.BundleObs(cam_idx=jnp.asarray(obs_cam), uv=jnp.asarray(obs_uv),
-                       valid=jnp.asarray(obs_valid))
-    cfg = ba.BundleConfig(
-        cc=jnp.asarray(cc),
-        cam_valid=jnp.asarray(cam_valid),
-        pose_free=jnp.asarray(np.ones((M, 6), dtype)),
-        pt_valid=jnp.asarray(pt_valid),
-        refine_focal=jnp.asarray(False),
-        refine_distortion=jnp.asarray(False),
-        loss_scale=jnp.asarray(np.asarray(4.0, dtype)),
-        prior_log_f=jnp.asarray(log_f),
-        prior_k1=jnp.zeros(M, dtype),
-        prior_weight_f=jnp.zeros(M, dtype),
-        prior_weight_k=jnp.zeros(M, dtype),
-    )
-    meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
-    return params, obs, cfg, meta
-
-
 def pack_bundle_flat(
     rec: Reconstruction,
     image_ids: Sequence[int],
@@ -138,9 +37,9 @@ def pack_bundle_flat(
 
     Column layout documented on bundle_adjust_flat. pose_free defaults to
     all-free and priors to zero-weight; the caller edits those columns.
-    Larger bucket floors than pack_bundle (min_images 16, min_points 512):
-    on backends without a persistent compile cache every distinct shape
-    costs a ~2 s remote compile, which dwarfs the padded FLOPs.
+    Generous bucket floors (min_images 16, min_points 512): on backends
+    without a persistent compile cache every distinct shape costs a ~2 s
+    remote compile, which dwarfs the padded FLOPs.
     """
     image_ids = [i for i in image_ids if rec.images[i].registered]
     M = next_pow2(max(len(image_ids), 1), min_images)

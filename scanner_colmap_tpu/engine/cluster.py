@@ -43,6 +43,11 @@ def make_clusters(image_ids: Sequence[int], cluster_size: int,
         c = ids[start:start + cluster_size]
         if len(c) >= 2:
             clusters.append(c)
+        elif clusters:
+            # a 1-image tail cannot seed a reconstruction; fold it into the
+            # final cluster (one over target size) instead of dropping it —
+            # with cluster_overlap=0 the tail was silently never mapped
+            clusters[-1] = clusters[-1] + c
         if start + cluster_size >= len(ids):
             break
         start += step

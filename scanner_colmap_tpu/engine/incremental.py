@@ -558,8 +558,15 @@ class IncrementalMapper:
         np.logical_and.at(ok_per_cand, f_cand, fits)
 
         n = 0
+        touched = set()
         for ci in np.flatnonzero(ok_per_cand):
             a, b, merged = cand[ci]
+            # the fit check used a PRE-ROUND snapshot of both tracks; once
+            # either endpoint has merged this round, the snapshot is stale
+            # and applying would attach observations never validated against
+            # the relocated point — defer such candidates to the next round
+            if a in touched or b in touched:
+                continue
             pt1, pt2 = pts.get(a), pts.get(b)
             if pt1 is None or pt2 is None:
                 continue  # consumed by an earlier merge this round
@@ -568,6 +575,8 @@ class IncrementalMapper:
             pt1.track = pt1.track + pt2.track
             pt1.xyz = merged
             del pts[b]
+            touched.add(a)
+            touched.add(b)
             n += 1
         return n
 
@@ -714,7 +723,15 @@ class IncrementalMapper:
                 if j != image_id and self.rec.images[j].registered:
                     share[j] = share.get(j, 0) + 1
         neighbors = sorted(share, key=share.get, reverse=True)[:7]
-        window = [image_id] + neighbors
+        # gauge: _run_ba freezes slots 0/1 — those must be the most
+        # ESTABLISHED images, not the just-PnP-registered one (freezing the
+        # noisiest pose dragged every settled neighbor toward PnP error).
+        # Stability proxy: number of 3D points observed.
+        anchors = sorted(neighbors,
+                         key=lambda j: self.rec.images[j].num_points3D,
+                         reverse=True)[:2]
+        rest = [j for j in neighbors if j not in anchors]
+        window = anchors + rest + [image_id]
         if len(window) < 2:
             return
         prev_points = None

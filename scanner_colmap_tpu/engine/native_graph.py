@@ -143,10 +143,14 @@ class NativeCorrespondenceGraph:
     # ---- queries (CorrespondenceGraph contract) -------------------------
     def correspondences(self, image_id: int, kp_idx: int):
         cap = 64
-        out_img = np.empty(cap, np.int64)
-        out_kp = np.empty(cap, np.int32)
-        n = self._lib.cg_get_corrs(self._g, image_id, kp_idx,
-                                   _i64p(out_img), _i32p(out_kp), cap)
+        while True:
+            out_img = np.empty(cap, np.int64)
+            out_kp = np.empty(cap, np.int32)
+            n = self._lib.cg_get_corrs(self._g, image_id, kp_idx,
+                                       _i64p(out_img), _i32p(out_kp), cap)
+            if n < cap:  # the native scan clamps silently; n == cap may
+                break    # mean truncation — regrow until a strict fit
+            cap *= 2
         return [(int(out_img[i]), int(out_kp[i])) for i in range(n)]
 
     def num_keypoints(self, image_id: int) -> int:

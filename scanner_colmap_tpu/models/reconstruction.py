@@ -275,4 +275,14 @@ class Reconstruction:
     def copy(self) -> "Reconstruction":
         import copy as _copy
 
-        return _copy.deepcopy(self)
+        # the observer callback is a live engine hook (a bound method of the
+        # native correspondence graph holding ctypes handles — deepcopying it
+        # raises, and a sharing copy would double-free the native handle);
+        # copies are standalone models and get no observer
+        obs = self.observer
+        self.observer = None
+        try:
+            dup = _copy.deepcopy(self)
+        finally:
+            self.observer = obs
+        return dup

@@ -95,7 +95,10 @@ def _read_images_stream(f: BinaryIO):
         (n2d,) = _read(f, "Q")
         data = np.frombuffer(f.read(24 * n2d), dtype=np.float64).reshape(n2d, 3)
         xys = data[:, :2].copy()
-        p3d = np.ascontiguousarray(data[:, 2]).view(np.int64)
+        # explicit copy: for n2d <= 1 the strided column is already flagged
+        # contiguous, so ascontiguousarray returns the read-only frombuffer
+        # VIEW and later in-place point3D_id writes raise
+        p3d = data[:, 2].copy().view(np.int64)
         images[image_id] = Image(
             image_id=image_id,
             camera_id=camera_id,

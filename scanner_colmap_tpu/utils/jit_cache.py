@@ -67,7 +67,9 @@ def default_cache_dir() -> str:
 
 def _leaf_sig(x):
     if isinstance(x, (bool, int, float, complex)):
-        return (type(x).__name__, x if isinstance(x, (bool,)) else None)
+        # static scalars are part of the compiled program: dropping the VALUE
+        # made max_iterations=25 and =50 collide on one executable
+        return (type(x).__name__, x)
     shape = getattr(x, "shape", None)
     dtype = getattr(x, "dtype", None)
     if shape is None:
