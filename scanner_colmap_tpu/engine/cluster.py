@@ -60,15 +60,19 @@ def subgraph(graph: CorrespondenceGraph, two_view: Dict, members: Sequence[int])
     g = make_graph()
     for i in members:
         g.add_image(i, graph.num_keypoints(i))
+    pm = getattr(graph, "pair_matches", None)
     for (i, j) in graph.pairs:
         if i in mset and j in mset:
-            # re-derive pairs from per-keypoint adjacency
-            pairs = []
-            for k1 in range(graph.num_keypoints(i)):
-                for (jj, k2) in graph.correspondences(i, k1):
-                    if jj == j:
-                        pairs.append((k1, k2))
-            if pairs:
+            if pm is not None and (i, j) in pm:
+                # per-pair match lists retained by the stage's graph build
+                pairs = pm[(i, j)]
+            else:
+                # fallback: re-derive pairs from per-keypoint adjacency
+                pairs = [(k1, k2)
+                         for k1 in range(graph.num_keypoints(i))
+                         for (jj, k2) in graph.correspondences(i, k1)
+                         if jj == j]
+            if len(pairs):
                 g.add_matches(i, j, np.asarray(pairs))
     tv = {k: v for k, v in two_view.items() if k[0] in mset and k[1] in mset}
     return g, tv

@@ -29,7 +29,9 @@ from scanner_colmap_tpu.engine.bundle_io import (next_pow2, pack_bundle_flat,
 from scanner_colmap_tpu.engine.correspondence import CorrespondenceGraph
 from scanner_colmap_tpu.models import cameras as camlib
 from scanner_colmap_tpu.models import geometry as geom
-from scanner_colmap_tpu.models.reconstruction import Camera, Image, Reconstruction
+from scanner_colmap_tpu.models.reconstruction import (Camera, Image,
+                                                      Reconstruction,
+                                                      np_reproj_errors)
 from scanner_colmap_tpu.ops import ba, pnp, triangulate
 from scanner_colmap_tpu.utils.config import MapperConfig
 
@@ -330,33 +332,9 @@ class IncrementalMapper:
         """Vectorized `_observation_fits` over parallel arrays: does point
         xyz[i] reproject within threshold at keypoint kps[i] of image
         iids[i]? One batched rotate/project for all candidates."""
-        iids = np.asarray(iids, np.int64)
-        kps = np.asarray(kps, np.int64)
-        xyz = np.asarray(xyz, np.float64)
-        if len(iids) == 0:
+        if len(np.asarray(iids)) == 0:
             return np.zeros(0, bool)
-        img_list = list(dict.fromkeys(int(i) for i in iids))
-        idx = {iid: s for s, iid in enumerate(img_list)}
-        s_arr = np.fromiter((idx[int(i)] for i in iids), np.int64, len(iids))
-        q = np.stack([self.rec.images[i].qvec for i in img_list])
-        t = np.stack([self.rec.images[i].tvec for i in img_list])
-        mid = np.asarray([self.rec.cameras[self.rec.images[i].camera_id].model_id
-                          for i in img_list])
-        prm = np.stack([self.rec.cameras[self.rec.images[i].camera_id].params_padded
-                        for i in img_list])
-        fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
-        x_cam = geom.np_quat_rotate(q[s_arr], xyz) + t[s_arr]
-        z = x_cam[:, 2]
-        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
-        xy = x_cam[:, :2] / zs[:, None]
-        d = camlib.np_distort(k1[s_arr], k2[s_arr], p1[s_arr], p2[s_arr], xy)
-        u = fx[s_arr] * d[..., 0] + cx[s_arr]
-        v = fy[s_arr] * d[..., 1] + cy[s_arr]
-        uv_obs = np.empty((len(iids), 2))
-        for s, iid in enumerate(img_list):
-            sel = s_arr == s
-            uv_obs[sel] = self.kp[iid][kps[sel]]
-        err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+        err, z = np_reproj_errors(self.rec, iids, kps, xyz)
         return (z > 0) & (err < self.cfg.filter_max_reproj_error * thr_factor)
 
     def _observation_fits(self, image_id, kp_idx, pid,

@@ -147,33 +147,11 @@ def _batch_reproj_ok(rec: Reconstruction, iids, kps, xyz,
     registered dst image iids[i]? One batched rotate/project for all
     candidate observations of a merge (the per-observation host loop
     dominated merge wall-clock)."""
-    iids = np.asarray(iids, np.int64)
-    if len(iids) == 0:
+    from scanner_colmap_tpu.models.reconstruction import np_reproj_errors
+
+    if len(np.asarray(iids)) == 0:
         return np.zeros(0, bool)
-    kps = np.asarray(kps, np.int64)
-    xyz = np.asarray(xyz, np.float64)
-    img_list = list(dict.fromkeys(int(i) for i in iids))
-    slot = {iid: s for s, iid in enumerate(img_list)}
-    s_arr = np.fromiter((slot[int(i)] for i in iids), np.int64, len(iids))
-    q = np.stack([rec.images[i].qvec for i in img_list])
-    t = np.stack([rec.images[i].tvec for i in img_list])
-    mid = np.asarray([rec.cameras[rec.images[i].camera_id].model_id
-                      for i in img_list])
-    prm = np.stack([rec.cameras[rec.images[i].camera_id].params_padded
-                    for i in img_list])
-    fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
-    x_cam = geom.np_quat_rotate(q[s_arr], xyz) + t[s_arr]
-    z = x_cam[:, 2]
-    zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
-    xy = x_cam[:, :2] / zs[:, None]
-    d = camlib.np_distort(k1[s_arr], k2[s_arr], p1[s_arr], p2[s_arr], xy)
-    u = fx[s_arr] * d[..., 0] + cx[s_arr]
-    v = fy[s_arr] * d[..., 1] + cy[s_arr]
-    uv_obs = np.empty((len(iids), 2))
-    for s, iid in enumerate(img_list):
-        sel = s_arr == s
-        uv_obs[sel] = rec.images[iid].xys[kps[sel]]
-    err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+    err, z = np_reproj_errors(rec, iids, kps, xyz)
     return (z > 0) & (err <= max_err)
 
 

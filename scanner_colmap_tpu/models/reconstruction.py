@@ -23,6 +23,45 @@ from scanner_colmap_tpu.models import cameras as camlib
 from scanner_colmap_tpu.models import geometry as geom
 
 
+def np_reproj_errors(rec: "Reconstruction", iids, kps, xyz):
+    """Batched reprojection errors on the host: err[n] = pixel distance of
+    xyz[n] projected through the camera of image iids[n] vs keypoint kps[n].
+
+    Returns (err (N,), z (N,) camera-frame depths). The ONE shared
+    rotate/distort/project routine behind track-fit checks, merge
+    verification, and per-point error refresh — repeated images are
+    compacted so poses/intrinsics stack once per distinct image.
+    """
+    iids = np.asarray(iids, np.int64)
+    if len(iids) == 0:
+        return np.zeros(0), np.zeros(0)
+    kps = np.asarray(kps, np.int64)
+    xyz = np.asarray(xyz, np.float64)
+    img_list = list(dict.fromkeys(int(i) for i in iids))
+    slot = {iid: s for s, iid in enumerate(img_list)}
+    s_arr = np.fromiter((slot[int(i)] for i in iids), np.int64, len(iids))
+    q = np.stack([rec.images[i].qvec for i in img_list])
+    t = np.stack([rec.images[i].tvec for i in img_list])
+    mid = np.asarray([rec.cameras[rec.images[i].camera_id].model_id
+                      for i in img_list])
+    prm = np.stack([rec.cameras[rec.images[i].camera_id].params_padded
+                    for i in img_list])
+    fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
+    x_cam = geom.np_quat_rotate(q[s_arr], xyz) + t[s_arr]
+    z = x_cam[:, 2]
+    zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+    xy = x_cam[:, :2] / zs[:, None]
+    d = camlib.np_distort(k1[s_arr], k2[s_arr], p1[s_arr], p2[s_arr], xy)
+    u = fx[s_arr] * d[..., 0] + cx[s_arr]
+    v = fy[s_arr] * d[..., 1] + cy[s_arr]
+    uv_obs = np.empty((len(iids), 2))
+    for s, iid in enumerate(img_list):
+        sel = s_arr == s
+        uv_obs[sel] = rec.images[iid].xys[kps[sel]]
+    err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+    return err, z
+
+
 @dataclasses.dataclass
 class Camera:
     camera_id: int
@@ -217,28 +256,8 @@ class Reconstruction:
             for pid in pids:
                 self.points3D[pid].error = -1.0
             return
-        q = np.stack([self.images[i].qvec for i in img_list])
-        t = np.stack([self.images[i].tvec for i in img_list])
-        mid = np.asarray([self.cameras[self.images[i].camera_id].model_id
-                          for i in img_list])
-        prm = np.stack([self.cameras[self.images[i].camera_id].params_padded
-                        for i in img_list])
-        fx, fy, cx, cy, k1, k2, p1, p2 = camlib.np_canonical_intrinsics(mid, prm)
-
-        x_cam = geom.np_quat_rotate(q[obs_img], xyz[obs_pt]) + t[obs_img]
-        z = x_cam[..., 2]
-        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
-        xy = x_cam[..., :2] / zs[..., None]
-        d = camlib.np_distort(k1[obs_img], k2[obs_img], p1[obs_img],
-                              p2[obs_img], xy)
-        u = fx[obs_img] * d[..., 0] + cx[obs_img]
-        v = fy[obs_img] * d[..., 1] + cy[obs_img]
-
-        uv_obs = np.empty((len(obs_pt), 2))
-        for s, iid in enumerate(img_list):
-            sel = obs_img == s
-            uv_obs[sel] = self.images[iid].xys[obs_kp[sel]]
-        err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
+        iids = np.asarray(img_list, np.int64)[obs_img]
+        err, z = np_reproj_errors(self, iids, obs_kp, xyz[obs_pt])
         err = np.where(z > 0, err, np.inf)
 
         counts = np.bincount(obs_pt, minlength=len(pids))

@@ -574,16 +574,21 @@ def _build_graph(store: ArtifactStore, kp: Dict[int, np.ndarray]):
     for n in range(len(pair_ids)):
         by_pair.setdefault((int(pair_ids[n][0]), int(pair_ids[n][1])),
                            []).append(n)
+    pair_matches: Dict[tuple, np.ndarray] = {}
     for (i, j), rows in by_pair.items():
         all_pairs = np.concatenate(
             [np.asarray(mt["matches"][n]).reshape(-1, 2) for n in rows])
         if len(rows) > 1:
             all_pairs = np.unique(all_pairs, axis=0)
         graph.add_matches(i, j, all_pairs)
+        # normalized per-pair match lists: cluster subgraphs rebuild from
+        # these directly instead of O(pairs x keypoints) adjacency scans
+        lo, hi = min(i, j), max(i, j)
+        pair_matches[(lo, hi)] = (all_pairs if i < j
+                                  else all_pairs[:, ::-1].copy())
         # pose/config from the strongest model
         best = max(rows, key=lambda n: mt["two_view_geometry"][n][1])
         row = np.asarray(mt["two_view_geometry"][best])
-        lo, hi = min(i, j), max(i, j)
         if i > j:
             q, t = geom.np_pose_inverse(row[3:7], row[7:10])
         else:
@@ -592,6 +597,7 @@ def _build_graph(store: ArtifactStore, kp: Dict[int, np.ndarray]):
             "config": int(row[0]), "num_inliers": int(row[1]),
             "tri_angle": float(row[2]), "qvec": q, "tvec": t,
         }
+    graph.pair_matches = pair_matches
     return graph, two_view
 
 
