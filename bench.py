@@ -142,12 +142,16 @@ def main():
         t0 = time.time()
         n_fused = stages.run_fusion(cfg, store)
         t_fuse = time.time() - t0
+        fused_xyz = store.read_table("fused", columns=["xyz"])["xyz"]
+        acc = synth.evaluate_dense(model, gt, np.asarray(fused_xyz))
         dense = {
             "depth_maps_per_s": round(n_maps / max(t_pm, 1e-9), 2),
             "fused_points_per_s": round(n_fused / max(t_fuse, 1e-9), 1),
             "fused_points": int(n_fused),
             "patch_match_s": round(t_pm, 2),
             "fusion_s": round(t_fuse, 2),
+            "surface_err_median_rel": round(acc["median_rel"], 5),
+            "surface_err_p90_rel": round(acc["p90_rel"], 5),
         }
         log(f"dense: {dense}")
 

@@ -129,6 +129,8 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
         "qvecs": [q.tolist() for q in qs],
         "tvecs": [t.tolist() for t in ts],
         "points": gt_points.tolist(),
+        # the analytic surface (dense-phase accuracy evaluation)
+        "surface": {"depth0": depth0, "depth_spread": depth_spread},
     }
     with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
         json.dump(gt, f)
@@ -159,6 +161,34 @@ def evaluate_ate(rec, gt, id_order=None):
     s, q, t = geom.np_umeyama_alignment(est, ref)
     aligned = s * geom.np_quat_rotate(q, est) + t
     return float(np.sqrt(np.mean(np.sum((aligned - ref) ** 2, axis=-1))))
+
+
+def gt_surface_z(gt, x, y):
+    """Analytic scene surface z(x, y) (matches generate_dataset)."""
+    d0 = gt["surface"]["depth0"]
+    ds = gt["surface"]["depth_spread"]
+    return d0 + ds * (0.5 * np.sin(0.45 * x) * np.cos(0.35 * y)
+                      + 0.25 * np.sin(0.9 * y))
+
+
+def evaluate_dense(rec, gt, fused_xyz):
+    """Median/p90 distance of fused points to the known scene surface,
+    after aligning the model to GT by its trajectory Sim(3) (the dense
+    counterpart of evaluate_ate; measures depth-map + fusion accuracy,
+    normalized by scene depth)."""
+    est, ref = [], []
+    for iid in rec.registered_image_ids:
+        est.append(rec.images[iid].projection_center())
+        ref.append(np.asarray(geom.np_projection_center(
+            gt["qvecs"][iid], gt["tvecs"][iid])))
+    if len(est) < 3 or len(fused_xyz) == 0:
+        return {"median_rel": float("inf"), "p90_rel": float("inf")}
+    s, q, t = geom.np_umeyama_alignment(np.stack(est), np.stack(ref))
+    pts = s * geom.np_quat_rotate(q, np.asarray(fused_xyz, np.float64)) + t
+    dz = np.abs(pts[:, 2] - gt_surface_z(gt, pts[:, 0], pts[:, 1]))
+    d0 = gt["surface"]["depth0"]
+    return {"median_rel": float(np.median(dz) / d0),
+            "p90_rel": float(np.percentile(dz, 90) / d0)}
 
 
 if __name__ == "__main__":

@@ -79,9 +79,14 @@ def test_dense_pipeline_e2e(cfg, dataset):
     assert n_pts > 500, f"only {n_pts} fused points"
     fused = store.read_table("fused")
     xyz = fused["xyz"]
-    # fused points near the blob field depth range (z in [depth0 +- spread],
-    # scene scale recovered by SfM is arbitrary -> compare relative spread)
     assert np.isfinite(xyz).all()
+    # dense accuracy: fused points sit near the known synthetic surface
+    # after trajectory Sim(3) alignment. The e2e config is deliberately tiny
+    # (8 images, low-res maps, blob texture NCC struggles with) — this is a
+    # gross-regression gate; bench.py reports the number at benchmark config
+    _, gt = dataset
+    acc = synth.evaluate_dense(stages.load_model(store), gt, np.asarray(xyz))
+    assert acc["median_rel"] < 0.2, acc
 
 
 def test_undistort_stage(cfg, dataset):
