@@ -78,7 +78,14 @@ class MapperConfig:
     # intrinsic-prior strength in BA (pulls focal to its init and k1 to 0;
     # breaks the per-image focal/depth near-degeneracy on weak-parallax data)
     intr_prior_weight_f: float = 300.0
-    intr_prior_weight_k: float = 3000.0
+    intr_prior_weight_k: float = 30000.0  # strong zero-prior on k1: free
+                                          # distortion refinement on flat /
+                                          # low-parallax scenes excites the
+                                          # DOMING mode (model bends, k1
+                                          # compensates; reproj + ATE stay
+                                          # good while 3D points leave the
+                                          # true surface — measured 2.8x
+                                          # worse dense surface error)
     # BA schedule (incremental_mapping.cc:86-139, 339-350)
     ba_local_max_num_iterations: int = 25
     ba_local_max_refinements: int = 2
