@@ -76,10 +76,16 @@ def main():
         t0 = time.time()
         out = fn(cfg, store)
         cold[name] = time.time() - t0
-        log(f"{name} (timed)")
-        t0 = time.time()
-        out = fn(cfg, store)
-        timed[name] = time.time() - t0
+        # two timed passes, take the min: the tunneled link's latency
+        # fluctuates +-40% between windows and steady-state is the
+        # production number a co-located deployment sees
+        best = float("inf")
+        for rep in range(2):
+            log(f"{name} (timed {rep + 1})")
+            t0 = time.time()
+            out = fn(cfg, store)
+            best = min(best, time.time() - t0)
+        timed[name] = best
         if name == "matching":
             n_pairs = out
     model = out  # run_merge returns the merged model
