@@ -120,14 +120,16 @@ def main():
     # sustained device rate: one 512-trip program amortizes the link latency
     # that dominates the realistic-solve number above. Sync via a scalar
     # download — block_until_ready is lazy on some remote backends.
+    # iterations reports APPLIED trips only — converged trips are skipped
+    # device-side (lax.cond) and must not inflate the rate
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
                                    chunk=1024, function_tolerance=0.0)
     float(info["final_cost"])
     t0 = time.time()
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
                                    chunk=1024, function_tolerance=0.0)
-    float(info["final_cost"])
-    ba_sustained = 512.0 / max(time.time() - t0, 1e-9)
+    n_applied = float(info["iterations"])
+    ba_sustained = n_applied / max(time.time() - t0, 1e-9)
     log(f"BA sustained: {ba_sustained:.0f} iters/s")
 
     # dense phase (north star: fused points/sec per chip). Timed on the

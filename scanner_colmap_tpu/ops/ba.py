@@ -350,20 +350,30 @@ def bundle_adjust(
     # data-dependent while syncs its condition through the host on remote
     # TPU backends (~180 ms/iter observed); masked no-op iterations after
     # convergence keep the whole solve one uninterrupted device program
-    # (measured 90x faster per iteration).
+    # (measured 90x faster per iteration). The LM trial itself sits behind
+    # a lax.cond so converged trips cost ~nothing on device (HLO
+    # Conditional executes one branch) — with dead trips free, long
+    # max_iterations budgets can run as ONE program (see
+    # bundle_adjust_flat_segmented's one-shot threshold).
     def body(it, state):
         p, lam, cost, done, n_applied = state
-        cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
-        new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)
-        accept = (new_cost < cost) & (~done)
-        p2 = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
-        cost2 = jnp.where(accept, new_cost, cost)
-        lam2 = jnp.where(done, lam,
-                         jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
-                                   jnp.minimum(lam * 10.0, 1e6)))
-        rel = jnp.abs(cost - cost2) / jnp.maximum(cost, 1e-12)
-        done2 = done | (accept & (rel < function_tolerance)) | (lam2 > 1e5)
-        return (p2, lam2, cost2, done2, n_applied + (~done).astype(jnp.int32))
+
+        def trial(p, lam, cost, done, n_applied):
+            cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
+            new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)
+            accept = new_cost < cost
+            p2 = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            cost2 = jnp.where(accept, new_cost, cost)
+            lam2 = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
+                             jnp.minimum(lam * 10.0, 1e6))
+            rel = jnp.abs(cost - cost2) / jnp.maximum(cost, 1e-12)
+            done2 = (accept & (rel < function_tolerance)) | (lam2 > 1e5)
+            return (p2, lam2, cost2, done2, n_applied + 1)
+
+        def skip(p, lam, cost, done, n_applied):
+            return (p, lam, cost, done, n_applied)
+
+        return jax.lax.cond(done, skip, trial, p, lam, cost, done, n_applied)
 
     p_f, lam_f, cost_f, _, it = jax.lax.fori_loop(
         0, max_iterations, body,
@@ -493,7 +503,11 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
     if segment <= 0:
         obs_cells = float(obs_in.shape[0] * obs_in.shape[1])
         trip_ms = obs_cells * 6.5e-5   # ~1 ms per trip at 16k cells (v5e)
-        if max_iterations * trip_ms <= 80.0:
+        # converged trips are ~free (lax.cond skip in bundle_adjust), so the
+        # one-shot threshold prices the WORST case against saved round
+        # trips: typical solves converge well inside the budget and pay
+        # only converged_iters * trip_ms
+        if max_iterations * trip_ms <= 250.0:
             segment = max(int(max_iterations), 1)
         else:
             seg = max(int(40.0 / max(trip_ms, 1e-3)), 8)
