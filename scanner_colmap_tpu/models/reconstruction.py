@@ -37,9 +37,10 @@ def np_reproj_errors(rec: "Reconstruction", iids, kps, xyz):
         return np.zeros(0), np.zeros(0)
     kps = np.asarray(kps, np.int64)
     xyz = np.asarray(xyz, np.float64)
-    img_list = list(dict.fromkeys(int(i) for i in iids))
-    slot = {iid: s for s, iid in enumerate(img_list)}
-    s_arr = np.fromiter((slot[int(i)] for i in iids), np.int64, len(iids))
+    # vectorized slot assignment (a python genexpr here ran once per
+    # observation and dominated the host-side error refresh)
+    uniq, s_arr = np.unique(iids, return_inverse=True)
+    img_list = uniq.tolist()
     q = np.stack([rec.images[i].qvec for i in img_list])
     t = np.stack([rec.images[i].tvec for i in img_list])
     mid = np.asarray([rec.cameras[rec.images[i].camera_id].model_id
