@@ -27,13 +27,16 @@ from scanner_colmap_tpu.utils.config import PipelineConfig
 def build_parser() -> argparse.ArgumentParser:
     # common flags live on a parent parser so they work BOTH before and
     # after the subcommand (`cli all --image_path ...` is the documented
-    # form; argparse otherwise rejects parser-level flags there)
-    common = argparse.ArgumentParser(add_help=False)
+    # form; argparse otherwise rejects parser-level flags there). Defaults
+    # are SUPPRESS: a subparser re-applies its defaults into the shared
+    # namespace AFTER the main parser ran, so a real default here would
+    # clobber a flag given before the subcommand (`cli --store_path S all`).
+    common = argparse.ArgumentParser(add_help=False, argument_default=argparse.SUPPRESS)
     common.add_argument("--config",
                         help="JSON config file (serialized PipelineConfig)")
-    common.add_argument("--store_path", default=None,
+    common.add_argument("--store_path",
                         help="artifact store directory")
-    common.add_argument("--image_path", default=None,
+    common.add_argument("--image_path",
                         help="input image directory")
     common.add_argument("-v", "--verbose", action="store_true")
 
@@ -126,8 +129,19 @@ def config_from_args(args) -> PipelineConfig:
     return cfg
 
 
-def main(argv=None):
+def parse_args(argv=None):
     args = build_parser().parse_args(argv)
+    # the shared flags are declared with SUPPRESS defaults (see build_parser);
+    # fill in the real defaults for whichever were never given
+    for key, dflt in (("config", None), ("store_path", None),
+                      ("image_path", None), ("verbose", False)):
+        if not hasattr(args, key):
+            setattr(args, key, dflt)
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
