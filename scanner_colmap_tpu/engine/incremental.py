@@ -687,29 +687,41 @@ class IncrementalMapper:
                 self._kp_norm_cache.pop(iid, None)
         return info
 
-    def local_bundle_adjustment(self, image_id: int):
+    def local_bundle_adjustment(self, image_ids):
         """Iterative local refinement (ref :86-114): BA over the images most
-        connected to image_id, repeated until the changed-observation ratio
-        drops below ba_local_max_refinement_change."""
-        # local window: images sharing the most points with image_id
+        connected to image_ids, repeated until the changed-observation ratio
+        drops below ba_local_max_refinement_change.
+
+        Accepts one image id or a batch (register_batch_size registrations
+        share one refinement round — the union of their neighbor windows is
+        solved jointly, amortizing the solve's link round trip)."""
+        if isinstance(image_ids, (int, np.integer)):
+            image_ids = [int(image_ids)]
+        batch = [i for i in image_ids if self.rec.images[i].registered]
+        if not batch:
+            return
+        # local window: images sharing the most points with the batch
         share = {}
-        im = self.rec.images[image_id]
-        for pid in im.point3D_ids:
-            if pid < 0:
-                continue
-            for (j, _) in self.rec.points3D[int(pid)].track:
-                if j != image_id and self.rec.images[j].registered:
-                    share[j] = share.get(j, 0) + 1
-        neighbors = sorted(share, key=share.get, reverse=True)[:7]
+        bset = set(batch)
+        for image_id in batch:
+            im = self.rec.images[image_id]
+            for pid in im.point3D_ids:
+                if pid < 0:
+                    continue
+                for (j, _) in self.rec.points3D[int(pid)].track:
+                    if j not in bset and self.rec.images[j].registered:
+                        share[j] = share.get(j, 0) + 1
+        n_neighbors = min(7 * len(batch), 16 - len(batch))
+        neighbors = sorted(share, key=share.get, reverse=True)[:n_neighbors]
         # gauge: _run_ba freezes slots 0/1 — those must be the most
-        # ESTABLISHED images, not the just-PnP-registered one (freezing the
+        # ESTABLISHED images, not the just-PnP-registered ones (freezing the
         # noisiest pose dragged every settled neighbor toward PnP error).
         # Stability proxy: number of 3D points observed.
         anchors = sorted(neighbors,
                          key=lambda j: self.rec.images[j].num_points3D,
                          reverse=True)[:2]
         rest = [j for j in neighbors if j not in anchors]
-        window = anchors + rest + [image_id]
+        window = anchors + rest + batch
         if len(window) < 2:
             return
         prev_points = None
@@ -813,16 +825,29 @@ class IncrementalMapper:
         reg_next_success = True
         while reg_next_success:
             reg_next_success = False
-            for image_id in self.find_next_images():
-                if self.register_next_image(image_id):
-                    reg_next_success = True
-                    self.triangulate_image(image_id)
-                    self.local_bundle_adjustment(image_id)
-                    if self._check_global_ba_trigger():
-                        self.global_bundle_adjustment()
-                        self._ba_prev_num_reg = self._num_total_reg_images
-                        self._ba_prev_num_points = len(self.rec.points3D)
-                    break  # re-rank after each success, like COLMAP
+            # register up to register_batch_size images before one joint
+            # local refinement (K=1 reproduces COLMAP's schedule exactly;
+            # PnP + triangulation run host-side, so the device round trips
+            # scale with refinement ROUNDS, not registrations). Candidates
+            # re-rank after every success, like COLMAP's outer loop.
+            batch: List[int] = []
+            while len(batch) < max(1, self.cfg.register_batch_size):
+                registered = False
+                for image_id in self.find_next_images():
+                    if self.register_next_image(image_id):
+                        self.triangulate_image(image_id)
+                        batch.append(image_id)
+                        registered = True
+                        break
+                if not registered:
+                    break
+            if batch:
+                reg_next_success = True
+                self.local_bundle_adjustment(batch)
+                if self._check_global_ba_trigger():
+                    self.global_bundle_adjustment()
+                    self._ba_prev_num_reg = self._num_total_reg_images
+                    self._ba_prev_num_points = len(self.rec.points3D)
 
         self.global_bundle_adjustment()
         self.rec.compute_reprojection_errors()

@@ -86,6 +86,13 @@ class MapperConfig:
                                           # good while 3D points leave the
                                           # true surface — measured 2.8x
                                           # worse dense surface error)
+    # Registrations folded into ONE local-BA round. COLMAP refines after
+    # every single registration; on a link where each BA solve costs a full
+    # round trip, batching K registrations (PnP + triangulation are robust
+    # to the short refinement delay) before one joint local BA over the
+    # union window cuts the mapper's dominant latency ~K-fold. 1 = exact
+    # COLMAP schedule.
+    register_batch_size: int = 4
     # BA schedule (incremental_mapping.cc:86-139, 339-350)
     ba_local_max_num_iterations: int = 25
     ba_local_max_refinements: int = 2
