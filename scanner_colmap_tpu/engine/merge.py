@@ -181,7 +181,12 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
             old.qvec, old.tvec = im.qvec, im.tvec
             old.registered = True
 
-    # fold points with track-aware dedup
+    # fold points with track-aware dedup. Candidates are collected first and
+    # reprojection-checked in ONE batched call — src tracks partition src
+    # keypoints, so no candidate's check depends on another's application
+    # (a per-point check call here dominated merge wall-clock)
+    cand = []                        # (pt, target, new_track, xyz)
+    f_iids, f_kps, f_xyz, f_ci = [], [], [], []
     for pid, pt in src.points3D.items():
         # does any observation already belong to a dst point?
         target = -1
@@ -201,25 +206,35 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
                 continue  # already observed by a dst point
             new_track.append((iid, kp))
         if target >= 0 and target in dst.points3D:
-            tgt = dst.points3D[target]
-            if _track_reproj_ok(dst, tgt.xyz, new_track, cfg.max_reproj_error):
-                for (iid, kp) in new_track:
-                    tgt.track.append((iid, kp))
-                    dst.images[iid].point3D_ids[kp] = target
+            xyz = dst.points3D[target].xyz
         elif len(new_track) >= 2:
-            if _track_reproj_ok(dst, pt.xyz, new_track, cfg.max_reproj_error):
-                dst.add_point3D(pt.xyz, new_track, rgb=pt.rgb, error=pt.error)
+            target = -1  # stale reference to a removed dst point
+            xyz = pt.xyz
+        else:
+            continue
+        ci = len(cand)
+        cand.append((pt, target, new_track, xyz))
+        for (iid, kp) in new_track:
+            f_iids.append(iid)
+            f_kps.append(kp)
+            f_xyz.append(xyz)
+            f_ci.append(ci)
+
+    ok = np.ones(len(cand), bool)
+    if f_ci:
+        fits = _batch_reproj_ok(dst, f_iids, f_kps, np.asarray(f_xyz),
+                                cfg.max_reproj_error)
+        np.logical_and.at(ok, np.asarray(f_ci), fits)
+    for ci in np.flatnonzero(ok):
+        pt, target, new_track, _ = cand[ci]
+        if target >= 0:
+            tgt = dst.points3D[target]
+            for (iid, kp) in new_track:
+                tgt.track.append((iid, kp))
+                dst.images[iid].point3D_ids[kp] = target
+        else:
+            dst.add_point3D(pt.xyz, new_track, rgb=pt.rgb, error=pt.error)
     return True
-
-
-def _track_reproj_ok(rec, xyz, track, max_err: float) -> bool:
-    if not track:
-        return True
-    iids = [i for (i, _) in track]
-    kps = [k for (_, k) in track]
-    ok = _batch_reproj_ok(rec, iids, kps,
-                          np.broadcast_to(xyz, (len(track), 3)), max_err)
-    return bool(ok.all())
 
 
 def global_refine(rec: Reconstruction, max_iterations: int = 50,
