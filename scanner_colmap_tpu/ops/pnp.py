@@ -35,11 +35,20 @@ class PnPResult(NamedTuple):
 # Linear PnP (DLT) — works for >= 6 points, batch-friendly
 # ---------------------------------------------------------------------------
 
-def pnp_dlt(x3d: jax.Array, xn: jax.Array, mask: jax.Array | None = None):
+def pnp_dlt(x3d: jax.Array, xn: jax.Array, mask: jax.Array | None = None,
+            exact: bool = True):
     """Estimate world->cam pose from 2D-3D correspondences.
 
     x3d: (..., K, 3) world points; xn: (..., K, 2) normalized image coords.
     Returns (qvec (...,4), tvec (...,3)).
+
+    exact=False (minimal 6-point samples only): the null vector comes from
+    modified Gram-Schmidt over 11 of the 12 equation rows instead of a
+    batched 12x12 eigh — batched small factorizations serialize on the
+    scalar unit and dominated the PnP trial batch (same trick as two-view's
+    _null_vec_fast; one dropped row leaves a rank-11 system whose null
+    direction matches the DLT solution to noise order, plenty for RANSAC
+    hypotheses that are MSAC-scored and GN-polished).
     """
     if mask is None:
         mask = jnp.ones(x3d.shape[:-1], bool)
@@ -51,9 +60,14 @@ def pnp_dlt(x3d: jax.Array, xn: jax.Array, mask: jax.Array | None = None):
     r1 = jnp.stack([X, Y, Z, o, z, z, z, z, -u * X, -u * Y, -u * Z, -u], axis=-1)
     r2 = jnp.stack([z, z, z, z, X, Y, Z, o, -v * X, -v * Y, -v * Z, -v], axis=-1)
     A = jnp.concatenate([r1 * mask[..., None], r2 * mask[..., None]], axis=-2)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
-    p = V[..., :, 0]
+    if exact:
+        AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+        _, V = jnp.linalg.eigh(AtA)
+        p = V[..., :, 0]
+    else:
+        from scanner_colmap_tpu.ops.two_view import _null_vec_fast
+
+        p = _null_vec_fast(A[..., :-1, :])
     P = p.reshape(p.shape[:-1] + (3, 4))
 
     M = P[..., :3]
@@ -146,7 +160,7 @@ def pnp_ransac(
     logits = jnp.where(valid, 0.0, NEG_LOGIT)
     samples = jax.random.categorical(
         key, logits[None, :], axis=-1, shape=(num_trials, sample_size))
-    q_h, t_h = pnp_dlt(x3d[samples], xn[samples])  # (S,4), (S,3)
+    q_h, t_h = pnp_dlt(x3d[samples], xn[samples], exact=False)  # (S,4), (S,3)
 
     # score all hypotheses
     x_cam = geom.quat_rotate(q_h[:, None, :], x3d[None]) + t_h[:, None, :]
