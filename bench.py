@@ -57,6 +57,7 @@ def main():
     cfg.mapper.init_min_num_inliers = 20
     cfg.mapper.abs_pose_min_num_inliers = 12
     cfg.mapper.single_camera = True   # one physical camera rendered the set
+    cfg.mapper.mode = os.environ.get("BENCH_MAPPER_MODE", cfg.mapper.mode)
 
     store = ArtifactStore(cfg.store_path)
     stages.prepare_images(cfg, store)

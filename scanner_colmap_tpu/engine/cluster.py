@@ -97,31 +97,52 @@ def run_clustered_mapping(
     ids = sorted(keypoints.keys())
     clusters = make_clusters(ids, cfg.cluster_size, cfg.cluster_overlap)
 
-    def run_one(ci: int) -> Reconstruction:
-        members = clusters[ci]
-        g, tv = subgraph(graph, two_view, members)
-        mapper = IncrementalMapper(
-            {i: keypoints[i] for i in members},
-            {i: cameras[i] for i in members}, g, tv, cfg, seed=ci)
-        rec = mapper.reconstruct()
-        log.info("cluster %d/%d: %d/%d images registered, %d points",
-                 ci + 1, len(clusters), rec.num_registered, len(members),
-                 len(rec.points3D))
-        return rec
+    if cfg.mode == "device":
+        # single-program-per-cluster mapper: dispatch every cluster's device
+        # call first (async), then await — the clusters pipeline on device
+        # with zero host round trips in between (ops/device_mapper.py)
+        from scanner_colmap_tpu.engine.device_cluster import map_cluster_device
 
-    # Clusters are independent work units (the reference ships them to
-    # Scanner workers). Their control planes are host-side Python that
-    # blocks on one small device solve at a time, so running several
-    # threads overlaps round-trip latency; device compute serializes in
-    # the runtime. Deterministic: results keyed by cluster index.
-    workers = min(cfg.cluster_workers, len(clusters)) or 1
-    if workers > 1 and len(clusters) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            recs = list(pool.map(run_one, range(len(clusters))))
+        pending = []
+        for ci, members in enumerate(clusters):
+            g, tv = subgraph(graph, two_view, members)
+            pending.append(map_cluster_device(
+                {i: keypoints[i] for i in members},
+                {i: cameras[i] for i in members}, g, tv, cfg, seed=ci,
+                block=False))
+        recs = []
+        for ci, finish in enumerate(pending):
+            rec = finish()
+            log.info("cluster %d/%d (device): %d/%d images, %d points",
+                     ci + 1, len(clusters), rec.num_registered,
+                     len(clusters[ci]), len(rec.points3D))
+            recs.append(rec)
     else:
-        recs = [run_one(ci) for ci in range(len(clusters))]
+        def run_one(ci: int) -> Reconstruction:
+            members = clusters[ci]
+            g, tv = subgraph(graph, two_view, members)
+            mapper = IncrementalMapper(
+                {i: keypoints[i] for i in members},
+                {i: cameras[i] for i in members}, g, tv, cfg, seed=ci)
+            rec = mapper.reconstruct()
+            log.info("cluster %d/%d: %d/%d images registered, %d points",
+                     ci + 1, len(clusters), rec.num_registered, len(members),
+                     len(rec.points3D))
+            return rec
+
+        # Clusters are independent work units (the reference ships them to
+        # Scanner workers). Their control planes are host-side Python that
+        # blocks on one small device solve at a time, so running several
+        # threads overlaps round-trip latency; device compute serializes in
+        # the runtime. Deterministic: results keyed by cluster index.
+        workers = min(cfg.cluster_workers, len(clusters)) or 1
+        if workers > 1 and len(clusters) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                recs = list(pool.map(run_one, range(len(clusters))))
+        else:
+            recs = [run_one(ci) for ci in range(len(clusters))]
     submodels: List[Reconstruction] = [r for r in recs if r.num_registered >= 2]
     if not merge:
         return None, submodels

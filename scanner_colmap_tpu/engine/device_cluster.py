@@ -1,0 +1,420 @@
+"""Host driver for the device-resident cluster mapper (ops/device_mapper.py).
+
+Prepares the data-independent parts of one cluster's reconstruction on the
+host — track structure, registration schedule, packed observation tensors —
+then runs the ENTIRE incremental solve as one device program and unpacks the
+result into a Reconstruction.
+
+Replaces ~20 host<->device round trips per cluster (the measured mapping
+bound on tunneled links, PERFORMANCE.md) with exactly one.
+
+Track structure: connected components of the verified-match graph
+(scipy union-find). COLMAP builds tracks incrementally and merges them when
+geometrically consistent (reference incremental_mapping.cc track handling);
+union-find produces the same components up to over-merges from wrong
+matches, which the kernel's per-step reprojection gates demote instead
+(the dominant half of a bad component keeps the point; the stray half is
+masked out).
+
+Registration schedule: greedy match-connectivity order — repeatedly add the
+unregistered image with the most verified correspondences to the registered
+set, seeded by the same initial-pair rule as the host engine (most inliers
+with a triangulation-angle gate, ref :305-313).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from scanner_colmap_tpu.engine.bundle_io import next_pow2
+from scanner_colmap_tpu.models import cameras as camlib
+from scanner_colmap_tpu.models import geometry as geom
+from scanner_colmap_tpu.models.reconstruction import (Camera, Image,
+                                                      Reconstruction)
+from scanner_colmap_tpu.ops import device_mapper
+from scanner_colmap_tpu.utils.config import MapperConfig
+
+log = logging.getLogger(__name__)
+
+
+def _pair_matches(graph, i: int, j: int) -> np.ndarray:
+    """(K, 2) verified matches (kp_i, kp_j), from the stage graph's retained
+    per-pair lists when present, else re-derived from adjacency."""
+    pm = getattr(graph, "pair_matches", None)
+    lo, hi = min(i, j), max(i, j)
+    if pm is not None and (lo, hi) in pm:
+        m = np.asarray(pm[(lo, hi)])
+        return m if i == lo else m[:, ::-1]
+    pairs = [(k1, k2) for k1 in range(graph.num_keypoints(i))
+             for (jj, k2) in graph.correspondences(i, k1) if jj == j]
+    return np.asarray(pairs, np.int64).reshape(-1, 2)
+
+
+def build_tracks(members: Sequence[int], kp: Dict[int, np.ndarray], graph,
+                 max_track: int) -> List[List[Tuple[int, int]]]:
+    """Tracks = connected components of the match graph over `members`.
+
+    Returns a list of tracks, each a list of (local_image_idx, kp_idx) with
+    at most one observation per image (first match wins, like the host
+    engine's first-come keypoint assignment) and at most max_track entries.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = len(members)
+    counts = [len(kp[m]) for m in members]
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    total = int(offs[-1])
+    if total == 0:
+        return []
+
+    rows, cols = [], []
+    mset = {m: li for li, m in enumerate(members)}
+    for a in range(n):
+        for b in range(a + 1, n):
+            i, j = members[a], members[b]
+            if graph.num_pair_inliers(i, j) <= 0:
+                continue
+            m = _pair_matches(graph, i, j)
+            if len(m) == 0:
+                continue
+            rows.append(offs[a] + m[:, 0])
+            cols.append(offs[b] + m[:, 1])
+    if not rows:
+        return []
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    adj = coo_matrix((np.ones(len(r), np.int8), (r, c)), shape=(total, total))
+    n_comp, labels = connected_components(adj, directed=False)
+
+    # nodes that participate in at least one match
+    touched = np.zeros(total, bool)
+    touched[r] = True
+    touched[c] = True
+    node_img = np.searchsorted(offs, np.arange(total), side="right") - 1
+    node_kp = np.arange(total) - offs[node_img]
+
+    idx = np.flatnonzero(touched)
+    order = idx[np.argsort(labels[idx], kind="stable")]
+    lab_s = labels[order]
+    bounds = np.flatnonzero(np.diff(lab_s)) + 1
+    groups = np.split(order, bounds)
+
+    tracks = []
+    for g in groups:
+        if len(g) < 2:
+            continue
+        imgs = node_img[g]
+        # first observation per image, in member order
+        _, first = np.unique(imgs, return_index=True)
+        if len(first) < 2:
+            continue
+        sel = g[np.sort(first)]
+        if len(sel) > max_track:
+            # even spread across the span, keeping BOTH ends — truncating to
+            # the first max_track images starves the span's tail of
+            # observations (a track spanning the whole cluster would never
+            # be visible to the last images, killing init pairs there)
+            pick = np.round(np.linspace(0, len(sel) - 1,
+                                        max_track)).astype(int)
+            sel = sel[pick]
+        tracks.append([(int(node_img[s]), int(node_kp[s])) for s in sel])
+    return tracks
+
+
+def _find_initial_pair(members, graph, two_view, cfg: MapperConfig):
+    """Same rule as the host engine (engine/incremental.py find_initial_pair)."""
+    mset = set(members)
+    min_ang = math.radians(cfg.init_min_tri_angle_deg)
+    best = None
+    for (i, j), tv in two_view.items():
+        if i not in mset or j not in mset:
+            continue
+        if tv["num_inliers"] < cfg.init_min_num_inliers:
+            continue
+        if tv["tri_angle"] < min_ang:
+            continue
+        if best is None or tv["num_inliers"] > best[0]:
+            best = (tv["num_inliers"], i, j)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def _registration_order(members, graph, a: int, b: int) -> List[int]:
+    """Greedy connectivity order of LOCAL indices, starting after (a, b)."""
+    n = len(members)
+    W = np.zeros((n, n))
+    for x in range(n):
+        for y in range(x + 1, n):
+            w = graph.num_pair_inliers(members[x], members[y])
+            W[x, y] = W[y, x] = w
+    reg = np.zeros(n, bool)
+    la, lb = members.index(a), members.index(b)
+    reg[la] = reg[lb] = True
+    score = W[:, la] + W[:, lb]
+    out = []
+    for _ in range(n - 2):
+        score_m = np.where(reg, -1.0, score)
+        nxt = int(np.argmax(score_m))
+        if score_m[nxt] <= 0:
+            # disconnected leftovers still get a PnP attempt, in member order
+            rest = [x for x in range(n) if not reg[x] and x not in out]
+            out.extend(rest)
+            break
+        out.append(nxt)
+        reg[nxt] = True
+        score = score + W[:, nxt]
+    return out
+
+
+def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
+                       graph, two_view: Dict,
+                       config: Optional[MapperConfig] = None,
+                       seed: int = 0, block: bool = True):
+    """Reconstruct one cluster with the single-program device mapper.
+
+    Returns a Reconstruction (empty when no valid initial pair exists).
+    With block=False, returns a zero-arg callable that finalizes the result
+    (the device call is dispatched asynchronously; several clusters can be
+    in flight at once before any is awaited).
+    """
+    cfg = config or MapperConfig()
+    members = sorted(keypoints.keys())
+    n = len(members)
+
+    def _finish_empty():
+        return _empty_rec(keypoints, cameras, cfg)
+
+    init = _find_initial_pair(members, graph, two_view, cfg)
+    if init is None or n < 2:
+        log.warning("device mapper: no valid initial pair")
+        return _finish_empty() if block else _finish_empty
+
+    a, b = init
+    # effective track slots: the cluster span when it fits under the cap —
+    # a track can observe each member at most once, so T = n loses nothing
+    max_track = min(n, cfg.device_max_track)
+    tracks = build_tracks(members, keypoints, graph, max_track)
+    if len(tracks) < 8:
+        return _finish_empty() if block else _finish_empty
+    if len(tracks) > cfg.device_max_points:
+        # keep the longest (most-constrained) tracks
+        tracks.sort(key=len, reverse=True)
+        dropped = len(tracks) - cfg.device_max_points
+        tracks = tracks[: cfg.device_max_points]
+        log.info("device mapper: dropped %d shortest tracks (cap %d)",
+                 dropped, cfg.device_max_points)
+
+    M = next_pow2(n, 8)
+    P = next_pow2(len(tracks), 512)
+    T = max_track
+    S = 2 * M
+
+    # --- cameras ---------------------------------------------------------
+    infos = [cameras[m] for m in members]
+    share = (cfg.single_camera and all(
+        (i[0], i[2], i[3]) == (infos[0][0], infos[0][2], infos[0][3])
+        for i in infos))
+    cam_in = np.zeros((M, 22), np.float32)
+    cam_in[:, 0] = 1.0
+    focal = np.ones(n)
+    for s, m in enumerate(members):
+        model_id, params, w, h, prior = cameras[m]
+        params = np.asarray(params, np.float64)
+        if model_id == camlib.PINHOLE:
+            f = 0.5 * (params[0] + params[1])
+            cam_in[s, 9:11] = params[2:4]
+        else:
+            f = params[0]
+            cam_in[s, 9:11] = params[1:3]
+            if model_id != camlib.SIMPLE_PINHOLE and len(params) > 3:
+                cam_in[s, 8] = params[3]
+        focal[s] = f
+        cam_in[s, 7] = np.log(max(f, 1e-6))
+        cam_in[s, 11] = 1.0
+        cam_in[s, 12:18] = 1.0
+        cam_in[s, 18] = cam_in[s, 7]
+        g = n if share else 1
+        cam_in[s, 20] = cfg.intr_prior_weight_f / g
+        cam_in[s, 21] = cfg.intr_prior_weight_k / g
+
+    # init pair poses + gauge (host engine: first frozen, second loses one
+    # translation component)
+    la, lb = members.index(a), members.index(b)
+    lo, hi = min(a, b), max(a, b)
+    tv = two_view[(lo, hi)]
+    qrel, trel = np.asarray(tv["qvec"]), np.asarray(tv["tvec"])
+    if a > b:
+        qrel, trel = geom.np_pose_inverse(qrel, trel)
+    cam_in[lb, 0:4] = qrel
+    cam_in[lb, 4:7] = trel
+    cam_in[la, 12:18] = 0.0
+    cam_in[lb, 15] = 0.0
+
+    # --- schedule ---------------------------------------------------------
+    rest = _registration_order(members, graph, a, b)
+    order = np.full(S, -1, np.int32)
+    forced = np.zeros(S, np.float32)
+    order[0] = lb
+    forced[0] = 1.0
+    order[1: 1 + len(rest)] = rest
+    order[1 + len(rest): 1 + 2 * len(rest)] = rest    # retry pass
+    reg_init = np.zeros(M, np.float32)
+    reg_init[la] = 1.0
+
+    # --- observations ------------------------------------------------------
+    def _padded_params(params):
+        p = np.zeros(8, np.float64)
+        p[: len(params)] = np.asarray(params, np.float64)
+        return p
+
+    kp_norm = {s: camlib.np_image_to_cam(
+        int(cameras[m][0]), _padded_params(cameras[m][1]),
+        np.asarray(keypoints[m], np.float64)[:, :2])
+        for s, m in enumerate(members)}
+    obs_cam = np.zeros((P, T), np.int32)
+    obs_uv = np.zeros((P, T, 2), np.float32)
+    obs_xn = np.zeros((P, T, 2), np.float32)
+    obs_present = np.zeros((P, T), np.float32)
+    tri_thr_n = np.full(P, 1e-6, np.float32)
+    for p, track in enumerate(tracks):
+        fsum = 0.0
+        for t, (li, k) in enumerate(track):
+            obs_cam[p, t] = li
+            obs_uv[p, t] = np.asarray(keypoints[members[li]], np.float64)[k, :2]
+            obs_xn[p, t] = kp_norm[li][k]
+            obs_present[p, t] = 1.0
+            fsum += focal[li]
+        tri_thr_n[p] = cfg.filter_max_reproj_error / (fsum / len(track))
+
+    pnp_thr_n = np.full(M, 1e-6, np.float32)
+    pnp_thr_n[:n] = cfg.abs_pose_max_error / focal
+    scal = np.asarray([
+        1.0, 1.0, cfg.filter_max_reproj_error,
+        math.radians(cfg.min_tri_angle_deg),
+        float(cfg.abs_pose_min_num_inliers),
+        cfg.abs_pose_min_inlier_ratio,
+        cfg.filter_max_reproj_error, 0.0], np.float32)
+    key = np.array([np.uint32(seed), np.uint32(0x5f3d)], np.uint32)
+
+    out_dev = device_mapper.map_cluster(
+        key, cam_in, order, forced, reg_init,
+        obs_cam, obs_uv, obs_xn, obs_present, pnp_thr_n, tri_thr_n, scal,
+        pnp_trials=cfg.device_pnp_trials, ba_iters=cfg.device_ba_iters_per_step,
+        final_iters=cfg.device_final_ba_iters, chunk=min(1024, P))
+
+    def _finish():
+        out = np.asarray(out_dev)
+        return _unpack(out, members, cameras, keypoints, tracks, share,
+                       M, P, T, cfg)
+
+    return _finish() if block else _finish
+
+
+def _empty_rec(keypoints, cameras, cfg) -> Reconstruction:
+    rec = Reconstruction()
+    _add_cams_images(rec, sorted(keypoints.keys()), cameras, keypoints,
+                     cfg.single_camera)
+    return rec
+
+
+def _add_cams_images(rec, members, cameras, keypoints, single_camera):
+    infos = [cameras[m] for m in members]
+    share = (single_camera and len(infos) > 0 and all(
+        (i[0], i[2], i[3]) == (infos[0][0], infos[0][2], infos[0][3])
+        for i in infos))
+    if share:
+        model_id, params, w, h, prior = infos[0]
+        rec.add_camera(Camera(-1, model_id, w, h,
+                              np.array(params, np.float64), prior))
+    for m in members:
+        model_id, params, w, h, prior = cameras[m]
+        cam_id = -1 if share else m
+        if not share:
+            rec.add_camera(Camera(m, model_id, w, h,
+                                  np.array(params, np.float64), prior))
+        kps = np.asarray(keypoints[m], np.float64)[:, :2]
+        rec.add_image(Image(
+            image_id=m, camera_id=cam_id, name=f"image_{m}",
+            xys=kps.copy(),
+            point3D_ids=np.full(len(kps), -1, np.int64)))
+    return share
+
+
+def _unpack(out: np.ndarray, members, cameras, keypoints, tracks, share,
+            M, P, T, cfg) -> Reconstruction:
+    n = len(members)
+    cam = out[: M * 9].reshape(M, 9).astype(np.float64)
+    off = M * 9
+    xyz = out[off: off + P * 3].reshape(P, 3).astype(np.float64)
+    off += P * 3
+    pt_valid = out[off: off + P] > 0.5
+    off += P
+    obs_ok = out[off: off + P * T].reshape(P, T) > 0.5
+    off += P * T
+    registered = out[off: off + M] > 0.5
+    off += M
+    stats = out[off:]
+
+    rec = Reconstruction()
+    _add_cams_images(rec, members, cameras, keypoints, cfg.single_camera)
+
+    # intrinsics: group-average like the host path (bundle_io.unpack_bundle)
+    log_f = cam[:n, 7]
+    k1 = cam[:n, 8]
+    if share:
+        reg_n = registered[:n]
+        w = reg_n.astype(np.float64)
+        denom = max(w.sum(), 1.0)
+        log_f = np.full(n, float((log_f * w).sum() / denom))
+        k1 = np.full(n, float((k1 * w).sum() / denom))
+    for s, m in enumerate(members):
+        if not registered[s]:
+            continue
+        im = rec.images[m]
+        im.qvec = cam[s, 0:4] / max(np.linalg.norm(cam[s, 0:4]), 1e-12)
+        im.tvec = cam[s, 4:7].copy()
+        im.registered = True
+        camera = rec.cameras[im.camera_id]
+        f = float(np.exp(log_f[s]))
+        if camera.model_id == camlib.SIMPLE_RADIAL:
+            camera.params[0] = f
+            camera.params[3] = float(k1[s])
+        elif camera.model_id == camlib.SIMPLE_PINHOLE:
+            camera.params[0] = f
+        elif camera.model_id == camlib.PINHOLE:
+            camera.params[0] = camera.params[1] = f
+        else:
+            camera.params[0] = f
+            if len(camera.params) > 3:
+                camera.params[3] = float(k1[s])
+
+    n_pts = 0
+    for p in np.flatnonzero(pt_valid[: len(tracks)]):
+        track = []
+        for t, (li, k) in enumerate(tracks[p]):
+            if obs_ok[p, t] and registered[li]:
+                m = members[li]
+                if rec.images[m].point3D_ids[k] < 0:
+                    track.append((m, k))
+        if len(track) >= 2:
+            rec.add_point3D(xyz[p], track)
+            n_pts += 1
+
+    # images left with too little support deregister (host filter_images)
+    for m in rec.registered_image_ids:
+        if rec.images[m].num_points3D < 3 and rec.num_registered > 2:
+            rec.deregister_image(m)
+
+    rec.compute_reprojection_errors()
+    log.info("device mapper: %d/%d images, %d points, mean err %.3f px "
+             "(kernel stats: reg=%d pts=%d err=%.3f obs=%d)",
+             rec.num_registered, n, len(rec.points3D),
+             rec.mean_reprojection_error(), int(stats[0]), int(stats[1]),
+             float(stats[2]), int(stats[3]))
+    return rec

@@ -108,6 +108,22 @@ class MapperConfig:
     max_images: int = 64
     max_points: int = 32768
     max_obs_per_image: int = 2048
+    # mapper execution mode:
+    #   "host"   — COLMAP-faithful host control loop, one device solve per
+    #              refinement round (engine/incremental.py)
+    #   "device" — whole-cluster single-program mapper: precomputed track
+    #              structure + registration schedule, lax control flow,
+    #              exactly ONE round trip per cluster (ops/device_mapper.py)
+    mode: str = "host"
+    device_ba_iters_per_step: int = 8   # LM trips after each registration
+    device_final_ba_iters: int = 60     # LM trips per final global round
+    device_max_track: int = 16          # CAP on obs slots per track; the
+                                        # effective T is min(cluster size,
+                                        # cap) — truncating tracks below the
+                                        # cluster span measurably hurts both
+                                        # registration and ATE
+    device_max_points: int = 8192       # track capacity per cluster
+    device_pnp_trials: int = 256
 
 
 @dataclasses.dataclass
