@@ -98,25 +98,35 @@ def run_clustered_mapping(
     clusters = make_clusters(ids, cfg.cluster_size, cfg.cluster_overlap)
 
     if cfg.mode == "device":
-        # single-program-per-cluster mapper: dispatch every cluster's device
-        # call first (async), then await — the clusters pipeline on device
-        # with zero host round trips in between (ops/device_mapper.py)
-        from scanner_colmap_tpu.engine.device_cluster import map_cluster_device
+        from scanner_colmap_tpu.engine.device_cluster import (
+            map_cluster_device, map_clusters_device_batch)
 
-        pending = []
-        for ci, members in enumerate(clusters):
-            g, tv = subgraph(graph, two_view, members)
-            pending.append(map_cluster_device(
-                {i: keypoints[i] for i in members},
-                {i: cameras[i] for i in members}, g, tv, cfg, seed=ci,
-                block=False))
-        recs = []
-        for ci, finish in enumerate(pending):
-            rec = finish()
+        if cfg.device_batch_clusters and len(clusters) > 1:
+            # ALL clusters as ONE vmapped device program (the leading axis
+            # is the cluster) — C dispatches collapse to one and the small
+            # per-cluster ops batch up (engine/device_cluster.py)
+            args = []
+            for ci, members in enumerate(clusters):
+                g, tv = subgraph(graph, two_view, members)
+                args.append(({i: keypoints[i] for i in members},
+                             {i: cameras[i] for i in members}, g, tv, ci))
+            recs = map_clusters_device_batch(args, cfg)
+        else:
+            # single-program-per-cluster mapper: dispatch every cluster's
+            # device call first (async), then await — the clusters pipeline
+            # on device with zero host round trips (ops/device_mapper.py)
+            pending = []
+            for ci, members in enumerate(clusters):
+                g, tv = subgraph(graph, two_view, members)
+                pending.append(map_cluster_device(
+                    {i: keypoints[i] for i in members},
+                    {i: cameras[i] for i in members}, g, tv, cfg, seed=ci,
+                    block=False))
+            recs = [finish() for finish in pending]
+        for ci, rec in enumerate(recs):
             log.info("cluster %d/%d (device): %d/%d images, %d points",
                      ci + 1, len(clusters), rec.num_registered,
                      len(clusters[ci]), len(rec.points3D))
-            recs.append(rec)
     else:
         def run_one(ci: int) -> Reconstruction:
             members = clusters[ci]

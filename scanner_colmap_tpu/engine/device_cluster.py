@@ -172,28 +172,21 @@ def _registration_order(members, graph, a: int, b: int) -> List[int]:
     return out
 
 
-def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
-                       graph, two_view: Dict,
-                       config: Optional[MapperConfig] = None,
-                       seed: int = 0, block: bool = True):
-    """Reconstruct one cluster with the single-program device mapper.
+def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
+                     graph, two_view: Dict, cfg: MapperConfig, seed: int):
+    """Pack one cluster's device-mapper inputs (host-side, data-independent).
 
-    Returns a Reconstruction (empty when no valid initial pair exists).
-    With block=False, returns a zero-arg callable that finalizes the result
-    (the device call is dispatched asynchronously; several clusters can be
-    in flight at once before any is awaited).
+    Returns None when the cluster cannot seed a reconstruction (no valid
+    initial pair / too few tracks), else a dict of the kernel's input arrays
+    plus the unpacking metadata (members, tracks, share, M, P, T).
     """
-    cfg = config or MapperConfig()
     members = sorted(keypoints.keys())
     n = len(members)
-
-    def _finish_empty():
-        return _empty_rec(keypoints, cameras, cfg)
 
     init = _find_initial_pair(members, graph, two_view, cfg)
     if init is None or n < 2:
         log.warning("device mapper: no valid initial pair")
-        return _finish_empty() if block else _finish_empty
+        return None
 
     a, b = init
     # effective track slots: the cluster span when it fits under the cap —
@@ -201,7 +194,7 @@ def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
     max_track = min(n, cfg.device_max_track)
     tracks = build_tracks(members, keypoints, graph, max_track)
     if len(tracks) < 8:
-        return _finish_empty() if block else _finish_empty
+        return None
     if len(tracks) > cfg.device_max_points:
         # keep the longest (most-constrained) tracks
         tracks.sort(key=len, reverse=True)
@@ -302,18 +295,137 @@ def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
         cfg.filter_max_reproj_error, 0.0], np.float32)
     key = np.array([np.uint32(seed), np.uint32(0x5f3d)], np.uint32)
 
+    return dict(key=key, cam_in=cam_in, order=order, forced=forced,
+                reg_init=reg_init, obs_cam=obs_cam, obs_uv=obs_uv,
+                obs_xn=obs_xn, obs_present=obs_present, pnp_thr_n=pnp_thr_n,
+                tri_thr_n=tri_thr_n, scal=scal,
+                members=members, tracks=tracks, share=share, M=M, P=P, T=T)
+
+
+def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
+                       graph, two_view: Dict,
+                       config: Optional[MapperConfig] = None,
+                       seed: int = 0, block: bool = True):
+    """Reconstruct one cluster with the single-program device mapper.
+
+    Returns a Reconstruction (empty when no valid initial pair exists).
+    With block=False, returns a zero-arg callable that finalizes the result
+    (the device call is dispatched asynchronously; several clusters can be
+    in flight at once before any is awaited).
+    """
+    cfg = config or MapperConfig()
+    prep = _prepare_cluster(keypoints, cameras, graph, two_view, cfg, seed)
+    if prep is None:
+        def _finish_empty():
+            return _empty_rec(keypoints, cameras, cfg)
+        return _finish_empty() if block else _finish_empty
+
     out_dev = device_mapper.map_cluster(
-        key, cam_in, order, forced, reg_init,
-        obs_cam, obs_uv, obs_xn, obs_present, pnp_thr_n, tri_thr_n, scal,
-        pnp_trials=cfg.device_pnp_trials, ba_iters=cfg.device_ba_iters_per_step,
-        final_iters=cfg.device_final_ba_iters, chunk=min(1024, P))
+        prep["key"], prep["cam_in"], prep["order"], prep["forced"],
+        prep["reg_init"], prep["obs_cam"], prep["obs_uv"], prep["obs_xn"],
+        prep["obs_present"], prep["pnp_thr_n"], prep["tri_thr_n"],
+        prep["scal"],
+        pnp_trials=cfg.device_pnp_trials,
+        ba_iters=cfg.device_ba_iters_per_step,
+        final_iters=cfg.device_final_ba_iters, chunk=min(1024, prep["P"]))
 
     def _finish():
         out = np.asarray(out_dev)
-        return _unpack(out, members, cameras, keypoints, tracks, share,
-                       M, P, T, cfg)
+        return _unpack(out, prep["members"], cameras, keypoints,
+                       prep["tracks"], prep["share"], prep["M"], prep["P"],
+                       prep["T"], cfg)
 
     return _finish() if block else _finish
+
+
+_ARRAY_KEYS = ("key", "cam_in", "order", "forced", "reg_init", "obs_cam",
+               "obs_uv", "obs_xn", "obs_present", "pnp_thr_n", "tri_thr_n",
+               "scal")
+
+
+def _pad_prep(prep, M, P, T):
+    """Grow one cluster's packed arrays to the batch's common (M, P, T).
+
+    Pad rows are exactly what `_prepare_cluster` itself emits for its own
+    padding: camera slots with qw=1 and cam_valid=0 (never registered,
+    excluded from BA), schedule entries of -1 (skipped by the kernel's
+    `needs` gate), tracks with obs_present=0 (pure masking).
+    """
+    S = 2 * M
+    p = dict(prep)
+    if M > prep["M"]:
+        cam = np.zeros((M, 22), np.float32)
+        cam[:, 0] = 1.0
+        cam[: prep["M"]] = prep["cam_in"]
+        p["cam_in"] = cam
+        p["reg_init"] = np.pad(prep["reg_init"], (0, M - prep["M"]))
+        p["pnp_thr_n"] = np.pad(prep["pnp_thr_n"], (0, M - prep["M"]),
+                                constant_values=1e-6)
+    if S > len(prep["order"]):
+        p["order"] = np.pad(prep["order"], (0, S - len(prep["order"])),
+                            constant_values=-1)
+        p["forced"] = np.pad(prep["forced"], (0, S - len(prep["forced"])))
+    if P > prep["P"] or T > prep["T"]:
+        dp, dt = P - prep["P"], T - prep["T"]
+        p["obs_cam"] = np.pad(prep["obs_cam"], ((0, dp), (0, dt)))
+        p["obs_uv"] = np.pad(prep["obs_uv"], ((0, dp), (0, dt), (0, 0)))
+        p["obs_xn"] = np.pad(prep["obs_xn"], ((0, dp), (0, dt), (0, 0)))
+        p["obs_present"] = np.pad(prep["obs_present"], ((0, dp), (0, dt)))
+        p["tri_thr_n"] = np.pad(prep["tri_thr_n"], (0, dp),
+                                constant_values=1e-6)
+    return p
+
+
+def map_clusters_device_batch(cluster_args: Sequence[tuple],
+                              config: Optional[MapperConfig] = None
+                              ) -> List[Reconstruction]:
+    """Solve EVERY cluster of a collection as ONE batched device program.
+
+    `cluster_args`: list of (keypoints, cameras, graph, two_view, seed)
+    tuples, one per cluster. Each cluster's packed inputs are padded to the
+    batch's common (M, P, T) and stacked on a leading axis; a single
+    vmapped `map_cluster_batch` call replaces C sequential dispatches.
+    Per-cluster ops are small (M<=32 cameras, P~2k tracks), so batching is
+    near-free on the VPU/MXU while removing C-1 kernel launches and their
+    link round trips — the TPU analog of the reference fanning clusters out
+    to Scanner workers (SURVEY §2.2 parallelism #3).
+
+    Returns one Reconstruction per input cluster (empty where the cluster
+    could not seed).
+    """
+    cfg = config or MapperConfig()
+    results: List[Optional[Reconstruction]] = [None] * len(cluster_args)
+    preps = []
+    for idx, (kp, cams, g, tv, seed) in enumerate(cluster_args):
+        prep = _prepare_cluster(kp, cams, g, tv, cfg, seed)
+        if prep is None:
+            results[idx] = _empty_rec(kp, cams, cfg)
+        else:
+            prep["_idx"], prep["_kp"], prep["_cams"] = idx, kp, cams
+            preps.append(prep)
+    if not preps:
+        return results
+
+    M = max(p["M"] for p in preps)
+    P = max(p["P"] for p in preps)
+    T = max(p["T"] for p in preps)
+    padded = [_pad_prep(p, M, P, T) for p in preps]
+    stacked = {k: np.stack([p[k] for p in padded]) for k in _ARRAY_KEYS}
+
+    out = np.asarray(device_mapper.map_cluster_batch(
+        stacked["key"], stacked["cam_in"], stacked["order"],
+        stacked["forced"], stacked["reg_init"], stacked["obs_cam"],
+        stacked["obs_uv"], stacked["obs_xn"], stacked["obs_present"],
+        stacked["pnp_thr_n"], stacked["tri_thr_n"], stacked["scal"],
+        pnp_trials=cfg.device_pnp_trials,
+        ba_iters=cfg.device_ba_iters_per_step,
+        final_iters=cfg.device_final_ba_iters, chunk=min(1024, P)))
+
+    for row, prep in zip(out, preps):
+        results[prep["_idx"]] = _unpack(
+            row, prep["members"], prep["_cams"], prep["_kp"],
+            prep["tracks"], prep["share"], M, P, T, cfg)
+    return results
 
 
 def _empty_rec(keypoints, cameras, cfg) -> Reconstruction:

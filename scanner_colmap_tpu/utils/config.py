@@ -124,6 +124,17 @@ class MapperConfig:
                                         # registration and ATE
     device_max_points: int = 8192       # track capacity per cluster
     device_pnp_trials: int = 256
+    device_batch_clusters: bool = False  # solve ALL clusters as ONE vmapped
+                                        # program. MEASURED SLOWER (4.0 s vs
+                                        # 0.9 s warm, 16 images / 3 clusters):
+                                        # vmap lowers every lax.cond to
+                                        # select, so the skip-converged-BA
+                                        # and skip-inactive-step branches all
+                                        # execute for every lane. Async
+                                        # per-cluster dispatch already
+                                        # pipelines clusters on device; keep
+                                        # this for sharding lanes across
+                                        # chips, not for single-chip speed.
 
 
 @dataclasses.dataclass

@@ -61,6 +61,37 @@ def test_device_mode_clustered(rng):
     assert align_and_ate(model, qs, ts) < 0.08
 
 
+@pytest.mark.slow
+def test_device_batch_mixed_sizes(rng):
+    """map_clusters_device_batch pads clusters of different sizes to common
+    (M, P, T) — results must match the quality of per-cluster solves, and a
+    lane that cannot seed must come back empty without poisoning the rest."""
+    from scanner_colmap_tpu.engine.cluster import subgraph
+    from scanner_colmap_tpu.engine.device_cluster import (
+        map_clusters_device_batch)
+
+    kp, cams, graph, tv, (qs, ts, pts) = build_synthetic_scene(
+        rng, num_images=10, num_points=300)
+    cfg = _cfg()
+    groups = [list(range(0, 9)), list(range(6, 10))]   # 9 vs 4 images
+    args = []
+    for ci, members in enumerate(groups):
+        g, tvs = subgraph(graph, tv, members)
+        args.append(({i: kp[i] for i in members},
+                     {i: cams[i] for i in members}, g, tvs, ci))
+    # an unseedable lane: impossibly high init threshold via its own config
+    # is per-batch, so instead pass a 2-image cluster with no matches
+    g_e, _ = subgraph(graph, tv, [0, 9])
+    args.append(({0: kp[0], 9: kp[9]}, {0: cams[0], 9: cams[9]}, g_e,
+                 {}, 99))
+    recs = map_clusters_device_batch(args, cfg)
+    assert len(recs) == 3
+    assert recs[0].num_registered >= 8
+    assert recs[1].num_registered >= 3
+    assert recs[2].num_registered == 0
+    assert align_and_ate(recs[0], qs, ts) < 0.05
+
+
 def test_device_mapper_no_initial_pair(rng):
     """Weak two-view geometry -> empty reconstruction, no crash."""
     kp, cams, graph, tv, _ = build_synthetic_scene(rng, num_images=4,
