@@ -54,26 +54,34 @@ def _pair_matches(graph, i: int, j: int) -> np.ndarray:
     return np.asarray(pairs, np.int64).reshape(-1, 2)
 
 
-def build_tracks(members: Sequence[int], kp: Dict[int, np.ndarray], graph,
-                 max_track: int) -> List[List[Tuple[int, int]]]:
+def build_tracks_packed(members: Sequence[int], kp: Dict[int, np.ndarray],
+                        graph, max_track: int):
     """Tracks = connected components of the match graph over `members`.
 
-    Returns a list of tracks, each a list of (local_image_idx, kp_idx) with
-    at most one observation per image (first match wins, like the host
-    engine's first-come keypoint assignment) and at most max_track entries.
+    Returns (tr_img, tr_kp, tr_len): int32 arrays of shape (num_tracks,
+    max_track) / (num_tracks,). Row p holds track p's observations —
+    tr_img local image index, tr_kp keypoint index, -1 beyond tr_len[p].
+    At most one observation per image (first match wins, like the host
+    engine's first-come keypoint assignment); tracks longer than max_track
+    are even-spread subsampled keeping both ends.
+
+    Fully vectorized (one global dedup + one scatter); the per-group
+    numpy calls of the list-of-tuples version were ~60% of the device
+    mapper's host prep.
     """
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components
 
     n = len(members)
+    empty = (np.zeros((0, max_track), np.int32),
+             np.zeros((0, max_track), np.int32), np.zeros(0, np.int32))
     counts = [len(kp[m]) for m in members]
     offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     total = int(offs[-1])
     if total == 0:
-        return []
+        return empty
 
     rows, cols = [], []
-    mset = {m: li for li, m in enumerate(members)}
     for a in range(n):
         for b in range(a + 1, n):
             i, j = members[a], members[b]
@@ -85,7 +93,7 @@ def build_tracks(members: Sequence[int], kp: Dict[int, np.ndarray], graph,
             rows.append(offs[a] + m[:, 0])
             cols.append(offs[b] + m[:, 1])
     if not rows:
-        return []
+        return empty
     r = np.concatenate(rows)
     c = np.concatenate(cols)
     adj = coo_matrix((np.ones(len(r), np.int8), (r, c)), shape=(total, total))
@@ -95,35 +103,57 @@ def build_tracks(members: Sequence[int], kp: Dict[int, np.ndarray], graph,
     touched = np.zeros(total, bool)
     touched[r] = True
     touched[c] = True
-    node_img = np.searchsorted(offs, np.arange(total), side="right") - 1
+    node_img = (np.searchsorted(offs, np.arange(total), side="right") - 1
+                ).astype(np.int64)
     node_kp = np.arange(total) - offs[node_img]
 
     idx = np.flatnonzero(touched)
     order = idx[np.argsort(labels[idx], kind="stable")]
-    lab_s = labels[order]
-    bounds = np.flatnonzero(np.diff(lab_s)) + 1
-    groups = np.split(order, bounds)
 
-    tracks = []
-    for g in groups:
-        if len(g) < 2:
-            continue
-        imgs = node_img[g]
-        # first observation per image, in member order
-        _, first = np.unique(imgs, return_index=True)
-        if len(first) < 2:
-            continue
-        sel = g[np.sort(first)]
-        if len(sel) > max_track:
-            # even spread across the span, keeping BOTH ends — truncating to
-            # the first max_track images starves the span's tail of
-            # observations (a track spanning the whole cluster would never
-            # be visible to the last images, killing init pairs there)
-            pick = np.round(np.linspace(0, len(sel) - 1,
-                                        max_track)).astype(int)
-            sel = sel[pick]
-        tracks.append([(int(node_img[s]), int(node_kp[s])) for s in sel])
-    return tracks
+    # first observation per (component, image), in member order: one global
+    # unique on the composite key replaces a per-group np.unique
+    composite = labels[order] * np.int64(n) + node_img[order]
+    _, first = np.unique(composite, return_index=True)
+    keep = np.sort(first)
+    nodes = order[keep]
+    labs = labels[order][keep]
+
+    # group extents over the deduped, label-sorted node list
+    starts = np.flatnonzero(np.r_[True, np.diff(labs) != 0])
+    lens = np.diff(np.r_[starts, len(labs)])
+    ok = lens >= 2
+    starts, lens = starts[ok], lens[ok]
+    P = len(starts)
+    if P == 0:
+        return empty
+
+    # slot position of every kept node within its (kept) group
+    Lmax = int(lens.max())
+    if Lmax <= max_track:
+        grp = np.repeat(np.arange(P), lens)
+        pos = np.arange(lens.sum()) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        src = np.repeat(starts, lens) + pos
+    else:
+        # even spread across the span keeping BOTH ends for long tracks —
+        # truncating to the first max_track images starves the span's tail
+        # (a track spanning the whole cluster would never be visible to the
+        # last images, killing init pairs there)
+        out_len = np.minimum(lens, max_track)
+        grp = np.repeat(np.arange(P), out_len)
+        pos = np.arange(out_len.sum()) - np.repeat(
+            np.cumsum(out_len) - out_len, out_len)
+        span = np.repeat(lens - 1, out_len).astype(np.float64)
+        denom = np.maximum(np.repeat(out_len, out_len) - 1, 1)
+        src = np.repeat(starts, out_len) + np.round(
+            pos * span / denom).astype(np.int64)
+        lens = out_len
+    T = min(Lmax, max_track)
+    tr_img = np.full((P, T), -1, np.int32)
+    tr_kp = np.full((P, T), -1, np.int32)
+    tr_img[grp, pos] = node_img[nodes[src]]
+    tr_kp[grp, pos] = node_kp[nodes[src]]
+    return tr_img, tr_kp, lens.astype(np.int32)
 
 
 def _find_initial_pair(members, graph, two_view, cfg: MapperConfig):
@@ -192,20 +222,21 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
     # effective track slots: the cluster span when it fits under the cap —
     # a track can observe each member at most once, so T = n loses nothing
     max_track = min(n, cfg.device_max_track)
-    tracks = build_tracks(members, keypoints, graph, max_track)
-    if len(tracks) < 8:
+    tr_img, tr_kp, tr_len = build_tracks_packed(members, keypoints, graph,
+                                                max_track)
+    if len(tr_len) < 8:
         return None
-    if len(tracks) > cfg.device_max_points:
+    if len(tr_len) > cfg.device_max_points:
         # keep the longest (most-constrained) tracks
-        tracks.sort(key=len, reverse=True)
-        dropped = len(tracks) - cfg.device_max_points
-        tracks = tracks[: cfg.device_max_points]
+        top = np.argsort(-tr_len, kind="stable")[: cfg.device_max_points]
         log.info("device mapper: dropped %d shortest tracks (cap %d)",
-                 dropped, cfg.device_max_points)
+                 len(tr_len) - cfg.device_max_points, cfg.device_max_points)
+        tr_img, tr_kp, tr_len = tr_img[top], tr_kp[top], tr_len[top]
+    num_tracks = len(tr_len)
 
     M = next_pow2(n, 8)
-    P = next_pow2(len(tracks), 512)
-    T = max_track
+    P = next_pow2(num_tracks, 512)
+    T = tr_img.shape[1]
     S = 2 * M
 
     # --- cameras ---------------------------------------------------------
@@ -266,24 +297,31 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
         p[: len(params)] = np.asarray(params, np.float64)
         return p
 
-    kp_norm = {s: camlib.np_image_to_cam(
-        int(cameras[m][0]), _padded_params(cameras[m][1]),
-        np.asarray(keypoints[m], np.float64)[:, :2])
-        for s, m in enumerate(members)}
+    uv_list = [np.asarray(keypoints[m], np.float64)[:, :2] for m in members]
+    xn_list = [camlib.np_image_to_cam(
+        int(cameras[m][0]), _padded_params(cameras[m][1]), uv_list[s])
+        for s, m in enumerate(members)]
+    kp_offs = np.concatenate(
+        [[0], np.cumsum([len(u) for u in uv_list])]).astype(np.int64)
+    uv_all = np.concatenate(uv_list)
+    xn_all = np.concatenate(xn_list)
+
+    # one gather per tensor over the packed (num_tracks, T) track table
+    present = tr_img >= 0
+    li = np.where(present, tr_img, 0)
+    flat = kp_offs[li] + np.where(present, tr_kp, 0)
     obs_cam = np.zeros((P, T), np.int32)
     obs_uv = np.zeros((P, T, 2), np.float32)
     obs_xn = np.zeros((P, T, 2), np.float32)
     obs_present = np.zeros((P, T), np.float32)
     tri_thr_n = np.full(P, 1e-6, np.float32)
-    for p, track in enumerate(tracks):
-        fsum = 0.0
-        for t, (li, k) in enumerate(track):
-            obs_cam[p, t] = li
-            obs_uv[p, t] = np.asarray(keypoints[members[li]], np.float64)[k, :2]
-            obs_xn[p, t] = kp_norm[li][k]
-            obs_present[p, t] = 1.0
-            fsum += focal[li]
-        tri_thr_n[p] = cfg.filter_max_reproj_error / (fsum / len(track))
+    obs_cam[:num_tracks] = li
+    obs_uv[:num_tracks] = np.where(present[..., None], uv_all[flat], 0.0)
+    obs_xn[:num_tracks] = np.where(present[..., None], xn_all[flat], 0.0)
+    obs_present[:num_tracks] = present
+    mean_focal = (np.sum(np.where(present, focal[li], 0.0), axis=1)
+                  / np.maximum(tr_len, 1))
+    tri_thr_n[:num_tracks] = cfg.filter_max_reproj_error / mean_focal
 
     pnp_thr_n = np.full(M, 1e-6, np.float32)
     pnp_thr_n[:n] = cfg.abs_pose_max_error / focal
@@ -298,8 +336,9 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
     return dict(key=key, cam_in=cam_in, order=order, forced=forced,
                 reg_init=reg_init, obs_cam=obs_cam, obs_uv=obs_uv,
                 obs_xn=obs_xn, obs_present=obs_present, pnp_thr_n=pnp_thr_n,
-                tri_thr_n=tri_thr_n, scal=scal,
-                members=members, tracks=tracks, share=share, M=M, P=P, T=T)
+                tri_thr_n=tri_thr_n, scal=scal, members=members,
+                tr_img=tr_img, tr_kp=tr_kp, tr_len=tr_len, share=share,
+                M=M, P=P, T=T)
 
 
 def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
@@ -331,9 +370,8 @@ def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
 
     def _finish():
         out = np.asarray(out_dev)
-        return _unpack(out, prep["members"], cameras, keypoints,
-                       prep["tracks"], prep["share"], prep["M"], prep["P"],
-                       prep["T"], cfg)
+        return _unpack(out, prep, cameras, keypoints,
+                       prep["M"], prep["P"], prep["T"], cfg)
 
     return _finish() if block else _finish
 
@@ -423,8 +461,7 @@ def map_clusters_device_batch(cluster_args: Sequence[tuple],
 
     for row, prep in zip(out, preps):
         results[prep["_idx"]] = _unpack(
-            row, prep["members"], prep["_cams"], prep["_kp"],
-            prep["tracks"], prep["share"], M, P, T, cfg)
+            row, prep, prep["_cams"], prep["_kp"], M, P, T, cfg)
     return results
 
 
@@ -458,8 +495,10 @@ def _add_cams_images(rec, members, cameras, keypoints, single_camera):
     return share
 
 
-def _unpack(out: np.ndarray, members, cameras, keypoints, tracks, share,
+def _unpack(out: np.ndarray, prep, cameras, keypoints,
             M, P, T, cfg) -> Reconstruction:
+    members, share = prep["members"], prep["share"]
+    tr_img, tr_kp, tr_len = prep["tr_img"], prep["tr_kp"], prep["tr_len"]
     n = len(members)
     cam = out[: M * 9].reshape(M, 9).astype(np.float64)
     off = M * 9
@@ -507,9 +546,10 @@ def _unpack(out: np.ndarray, members, cameras, keypoints, tracks, share,
                 camera.params[3] = float(k1[s])
 
     n_pts = 0
-    for p in np.flatnonzero(pt_valid[: len(tracks)]):
+    for p in np.flatnonzero(pt_valid[: len(tr_len)]):
         track = []
-        for t, (li, k) in enumerate(tracks[p]):
+        for t in range(int(tr_len[p])):
+            li, k = int(tr_img[p, t]), int(tr_kp[p, t])
             if obs_ok[p, t] and registered[li]:
                 m = members[li]
                 if rec.images[m].point3D_ids[k] < 0:

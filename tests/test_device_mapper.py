@@ -8,7 +8,7 @@ import pytest
 from test_incremental import align_and_ate, build_synthetic_scene
 
 from scanner_colmap_tpu.engine.cluster import run_clustered_mapping
-from scanner_colmap_tpu.engine.device_cluster import (build_tracks,
+from scanner_colmap_tpu.engine.device_cluster import (build_tracks_packed,
                                                       map_cluster_device)
 from scanner_colmap_tpu.utils.config import MapperConfig
 
@@ -24,14 +24,19 @@ def _cfg():
 def test_build_tracks_union_find(rng):
     kp, cams, graph, tv, _ = build_synthetic_scene(rng, num_images=6,
                                                    num_points=200)
-    tracks = build_tracks(sorted(kp.keys()), kp, graph, max_track=8)
-    assert len(tracks) > 50
-    for tr in tracks:
-        assert 2 <= len(tr) <= 8
-        imgs = [li for li, _ in tr]
-        assert len(set(imgs)) == len(imgs)  # one observation per image
-        for li, k in tr:
-            assert 0 <= k < len(kp[li])
+    tr_img, tr_kp, tr_len = build_tracks_packed(sorted(kp.keys()), kp, graph,
+                                                max_track=8)
+    assert len(tr_len) > 50
+    assert tr_img.shape == tr_kp.shape == (len(tr_len), tr_img.shape[1])
+    assert tr_img.shape[1] <= 8
+    for p in range(len(tr_len)):
+        L = int(tr_len[p])
+        assert 2 <= L <= 8
+        imgs = tr_img[p, :L].tolist()
+        assert len(set(imgs)) == L          # one observation per image
+        assert np.all(tr_img[p, L:] == -1)  # -1 beyond the track length
+        for t in range(L):
+            assert 0 <= tr_kp[p, t] < len(kp[int(tr_img[p, t])])
 
 
 @pytest.mark.slow
