@@ -61,6 +61,7 @@ def subgraph(graph: CorrespondenceGraph, two_view: Dict, members: Sequence[int])
     for i in members:
         g.add_image(i, graph.num_keypoints(i))
     pm = getattr(graph, "pair_matches", None)
+    sub_pm = {}
     for (i, j) in graph.pairs:
         if i in mset and j in mset:
             if pm is not None and (i, j) in pm:
@@ -73,7 +74,14 @@ def subgraph(graph: CorrespondenceGraph, two_view: Dict, members: Sequence[int])
                          for (jj, k2) in graph.correspondences(i, k1)
                          if jj == j]
             if len(pairs):
-                g.add_matches(i, j, np.asarray(pairs))
+                pairs = np.asarray(pairs)
+                g.add_matches(i, j, pairs)
+                sub_pm[(i, j)] = pairs
+    # carry the per-pair lists so downstream track building reads them
+    # directly instead of re-deriving from per-keypoint adjacency (the
+    # device mapper's build_tracks_packed was 150k native-graph calls
+    # per cluster without this)
+    g.pair_matches = sub_pm
     tv = {k: v for k, v in two_view.items() if k[0] in mset and k[1] in mset}
     return g, tv
 
