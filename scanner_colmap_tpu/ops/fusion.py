@@ -62,22 +62,31 @@ def _sample_nearest(img, x, y):
     return img[yi, xi], inb
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("window",))
 def fuse_depth_maps(
     inp: FusionInput,
     max_depth_error: float = 0.01,
     max_normal_error_rad: float = 0.1745,
     min_num_consistent: int = 2,
+    window: int | None = None,
 ):
-    """Consistency-voted fusion over all views in the input set.
+    """Consistency-voted fusion over a WINDOW of views along the ordered axis.
+
+    ``window`` bounds voting to views [i-window, i+window] — the stencil
+    analog of COLMAP's fusion traversal caps (the reference's WIP port
+    carries the same bound, stereo_fusion.cc:210-240 max_traversal_depth):
+    memory is O(N*H*W*window), not O(N*H*W*N). window=None (or >= N-1)
+    votes all-pairs — identical outputs to the unwindowed form.
 
     Returns per-pixel (N, H, W) fields:
       fused_xyz (N, H, W, 3), fused_rgb, fused_normal (world frame),
       num_consistent (N, H, W) int32, emit (N, H, W) bool (leader + enough
-      support), visibility (N, H, W, N) bool.
+      support), visibility (N, H, W, 2*window+1) bool — slot s of row i is
+      view i-window+s (self at slot `window`); "window" (static int).
     Host code compacts emit=True pixels into the point list.
     """
     N, H, W = inp.depths.shape
+    Wd = N - 1 if window is None else max(min(window, N - 1), 1)
     dtype = inp.depths.dtype
     # uniform dtype: pose/K inputs may arrive f64 from the host model while
     # depth maps are f32 — mixed precision would break the fori_loop carry
@@ -114,12 +123,18 @@ def fuse_depth_maps(
         cjs, _ = _sample_nearest(inp.colors[j], u, v)
         return ok, Xjs, njs, cjs
 
-    # all-pairs voting: scan over j for memory friendliness
+    # windowed voting: scan over slot s -> view j = i - Wd + s. Slots keep
+    # the visibility tensor bounded at 2*Wd+1 regardless of collection size.
+    S = 2 * Wd + 1
+
     def per_view(i):
-        def body(j, acc):
+        def body(s, acc):
             count, emit_leader, xs, ns, cs, vis = acc
+            off = s - Wd
+            j = jnp.clip(i + off, 0, N - 1)
             ok, Xjs, njs, cjs = check_pair(i, j)
-            ok = ok & (j != i) & inp.valid[i]
+            inrange = (off != 0) & (i + off >= 0) & (i + off <= N - 1)
+            ok = ok & inrange & inp.valid[i]
             count = count + ok.astype(jnp.int32)
             w = ok.astype(dtype)[..., None]
             xs = xs + w * Xjs
@@ -127,7 +142,7 @@ def fuse_depth_maps(
             cs = cs + w * cjs.astype(dtype)
             # leadership: no supporting view with smaller index
             emit_leader = emit_leader & ~(ok & (j < i))
-            vis = vis.at[..., j].set(ok)
+            vis = vis.at[..., s].set(ok)
             return count, emit_leader, xs, ns, cs, vis
 
         init = (jnp.zeros((H, W), jnp.int32),
@@ -135,8 +150,8 @@ def fuse_depth_maps(
                 jnp.zeros((H, W, 3), dtype),
                 jnp.zeros((H, W, 3), dtype),
                 jnp.zeros((H, W, 3), dtype),
-                jnp.zeros((H, W, N), bool))
-        count, leader, xs, ns, cs, vis = jax.lax.fori_loop(0, N, body, init)
+                jnp.zeros((H, W, S), bool))
+        count, leader, xs, ns, cs, vis = jax.lax.fori_loop(0, S, body, init)
 
         wtot = (count.astype(dtype) + 1.0)[..., None]
         fused_x = (xs + X[i]) / wtot
@@ -146,7 +161,7 @@ def fuse_depth_maps(
         fused_c = (cs + inp.colors[i].astype(dtype)) / wtot
         # the pixel itself counts as one consistent view
         emit = inp.valid[i] & leader & (count + 1 >= min_num_consistent)
-        vis = vis.at[..., i].set(inp.valid[i])
+        vis = vis.at[..., Wd].set(inp.valid[i])
         return fused_x, fused_c, fused_n, count + 1, emit, vis
 
     out = jax.lax.map(per_view, jnp.arange(N))
@@ -154,7 +169,7 @@ def fuse_depth_maps(
     return {
         "xyz": fused_xyz, "rgb": fused_rgb, "normal": fused_normal,
         "num_consistent": num_consistent, "emit": emit,
-        "visibility": visibility,
+        "visibility": visibility, "window": Wd,
     }
 
 
@@ -167,9 +182,11 @@ def count_emitted(result) -> int:
 def _gather_emitted(result, k: int):
     """Device-side compaction: pack the first k emitted pixels' fields into
     ONE buffer. Downloading the full per-pixel fields (incl. the
-    (N, H, W, N) visibility tensor) cost hundreds of MB at 48+ views; this
+    (N, H, W, S) visibility tensor) cost hundreds of MB at 48+ views; this
     reduces the transfer to O(points)."""
     N = result["emit"].shape[0]
+    S = result["visibility"].shape[-1]
+    HW = result["emit"].shape[1] * result["emit"].shape[2]
     emit_flat = result["emit"].reshape(-1)
     # top_k on 0/1 flags returns emitted indices first (ties keep index
     # order), padded with non-emitted indices; the host masks by flag
@@ -178,11 +195,14 @@ def _gather_emitted(result, k: int):
     rgb = result["rgb"].reshape(-1, 3)[idx]
     nrm = result["normal"].reshape(-1, 3)[idx]
     nc = result["num_consistent"].reshape(-1)[idx].astype(jnp.float32)
+    view = (idx // HW).astype(jnp.float32)  # owning view index per point
     packed = jnp.concatenate(
-        [xyz, rgb, nrm, nc[:, None], flags[:, None]], axis=1)  # (k, 11)
-    # visibility as a bit-packed uint8 mask: (k, ceil(N/8))
-    vis = result["visibility"].reshape(-1, N)[idx]
-    pad = (-N) % 8
+        [xyz, rgb, nrm, nc[:, None], flags[:, None], view[:, None]],
+        axis=1)  # (k, 12)
+    # windowed visibility as a bit-packed uint8 mask: (k, ceil(S/8));
+    # slot s of point from view i means view i - window + s
+    vis = result["visibility"].reshape(-1, S)[idx]
+    pad = (-S) % 8
     vis = jnp.pad(vis, ((0, 0), (0, pad)))
     bits = (vis.reshape(k, -1, 8)
             * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
@@ -190,12 +210,30 @@ def _gather_emitted(result, k: int):
     return packed, bits
 
 
+def _expand_windowed_vis(vis_w: np.ndarray, views: np.ndarray, N: int,
+                         Wd: int) -> np.ndarray:
+    """Windowed slots (P, 2*Wd+1) -> global (P, N) bool: slot s of a point
+    owned by view i is view i - Wd + s."""
+    P = len(views)
+    out = np.zeros((P, N), bool)
+    if P == 0:
+        return out
+    cols = views[:, None] - Wd + np.arange(vis_w.shape[1])[None, :]
+    inb = (cols >= 0) & (cols < N)
+    rows = np.broadcast_to(np.arange(P)[:, None], cols.shape)
+    out[rows[inb], cols[inb]] = vis_w[inb]
+    return out
+
+
 def compact_fused_points_device(result, max_points: int | None = None):
     """Like compact_fused_points, but gathers on DEVICE and downloads one
-    O(points) buffer. Returns the same dict (visibility as unpacked bool)."""
+    O(points) buffer. Returns the same dict (visibility as unpacked
+    global-width (P, N) bool)."""
+    N = result["emit"].shape[0]
+    Wd = int(result["window"])
+    S = result["visibility"].shape[-1]
     n_emit = count_emitted(result)
     if n_emit == 0:
-        N = result["emit"].shape[0]
         return {"xyz": np.zeros((0, 3)), "rgb": np.zeros((0, 3)),
                 "normal": np.zeros((0, 3)),
                 "num_consistent": np.zeros(0, np.int64),
@@ -217,14 +255,14 @@ def compact_fused_points_device(result, max_points: int | None = None):
         sel = np.flatnonzero(keep)[order[:max_points]]
     else:
         sel = np.flatnonzero(keep)
-    N = result["emit"].shape[0]
-    vis = np.unpackbits(bits[sel], axis=1, bitorder="little")[:, :N] > 0
+    vis_w = np.unpackbits(bits[sel], axis=1, bitorder="little")[:, :S] > 0
+    views = packed[sel, 11].astype(np.int64)
     return {
         "xyz": packed[sel, 0:3],
         "rgb": packed[sel, 3:6],
         "normal": packed[sel, 6:9],
         "num_consistent": packed[sel, 9].astype(np.int64),
-        "visibility": vis,
+        "visibility": _expand_windowed_vis(vis_w, views, N, Wd),
     }
 
 
@@ -238,13 +276,17 @@ def compact_fused_points(result, max_points: int | None = None):
         idx = idx[np.argsort(-support)[:max_points]]
     def flat(a, d):
         return np.asarray(a).reshape(-1, d)[idx]
-    N = emit.shape[0]
+    N, H, W = emit.shape
+    Wd = int(result["window"])
+    S = np.asarray(result["visibility"]).shape[-1]
+    vis_w = np.asarray(result["visibility"]).reshape(-1, S)[idx]
+    views = idx // (H * W)
     return {
         "xyz": flat(result["xyz"], 3),
         "rgb": flat(result["rgb"], 3),
         "normal": flat(result["normal"], 3),
         "num_consistent": np.asarray(result["num_consistent"]).reshape(-1)[idx],
-        "visibility": flat(result["visibility"], N),
+        "visibility": _expand_windowed_vis(vis_w, views, N, Wd),
     }
 
 

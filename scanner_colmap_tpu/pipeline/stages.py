@@ -163,6 +163,16 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials,
                                      min_inlier_ratio, num_trials, max_models))
 
 
+@functools.lru_cache(maxsize=2)
+def _pair_keys_fn():
+    """Per-pair PRNG keys by double fold_in of (row_a, row_b): bitwise
+    identical regardless of bank size, verify chunking, or host sharding."""
+    def run(key, ab):
+        return jax.vmap(lambda r: jax.random.fold_in(
+            jax.random.fold_in(key, r[0]), r[1]))(ab)
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=8)
 def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
     def run(d, v, ar, br, uva, uvb, fs):
@@ -397,6 +407,15 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     (reference feature_matching.py + sequential_matching.cc). Uses REAL
     intrinsics for verification (fixes SURVEY §8.6).
 
+    Memory plan: descriptors are streamed in BANKS — a device-resident
+    window of [bank + overlap] images along the ordered axis (the
+    packetized-stencil analog of the reference's io/work_packet_size,
+    feature_matching.py:70-74) — so device memory is O(bank), not
+    O(collection): 1k-10k image collections match on one chip. Verification
+    batches pairs in fixed chunks. Every pair's RANSAC key is derived by
+    fold_in from its (row_a, row_b), so results are bitwise-invariant to
+    bank size, chunking, and host sharding.
+
     schedule_slice=(k, n): process only every n-th scheduled pair starting
     at k (multi-host partitioned matching — parallel/dist.py)."""
     store = store or ArtifactStore(cfg.store_path)
@@ -404,17 +423,9 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     m = cfg.matching
     key = jax.random.PRNGKey(0)
 
-    # pad descriptors to a common K for batched matching
-    K_max = _round_up(max(len(d) for d in desc.values()), 128)
-    D = np.zeros((len(image_ids), K_max, 128), np.float32)
-    V = np.zeros((len(image_ids), K_max), bool)
-    for n, iid in enumerate(image_ids):
-        d = desc[iid].astype(np.float32)
-        D[n, :len(d)] = d
-        V[n, :len(d)] = True
-
     t0 = time.time()
     n_img = len(image_ids)
+    K_max = _round_up(max((len(d) for d in desc.values()), default=1), 128)
 
     # pair schedule along the ordered axis (the reference's stencil,
     # feature_matching.py:43): linear offsets 1..overlap, or quadratic
@@ -429,126 +440,197 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         k, nproc = schedule_slice
         sched = sched[k::nproc]
 
-    # ---- phase 1: ALL scheduled pairs matched in ONE device dispatch -----
-    NPairs = len(sched)
-    NP1 = 8
-    while NP1 < max(NPairs, 1):
-        NP1 *= 2
-    ai = np.zeros(NP1, np.int32)
-    bi = np.zeros(NP1, np.int32)
-    for n, (a, b) in enumerate(sched):
-        ai[n], bi[n] = a, b
+    # ---- bank geometry ----------------------------------------------------
+    W = max(offsets) if offsets else 1
+    B = m.bank_images
+    if B <= 0:
+        # auto: bank <= ~256 MB of f32 descriptors
+        B = max((256 << 20) // (K_max * 128 * 4) - W, 8)
+    n_bank = min(B + W, n_img)  # resident rows per bank (fixed jit signature)
 
+    def build_bank(s0):
+        Db = np.zeros((n_bank, K_max, 128), np.float32)
+        Vb = np.zeros((n_bank, K_max), bool)
+        for r in range(min(n_bank, n_img - s0)):
+            d = desc[image_ids[s0 + r]].astype(np.float32)
+            Db[r, :len(d)] = d
+            Vb[r, :len(d)] = True
+        return Db, Vb
+
+    # group scheduled pairs by the bank that owns their first row; within a
+    # bank every partner row b <= a + W is resident
+    by_bank: Dict[int, list] = {}
+    for a, b in sched:
+        by_bank.setdefault(a // B, []).append((a, b))
+
+    # ---- phase 1: banked matching (pipelined: next bank dispatches before
+    # the previous bank's matches download) --------------------------------
     match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check)
-    idx_all = np.asarray(match_all(jnp.asarray(D), jnp.asarray(V),
-                                   jnp.asarray(ai), jnp.asarray(bi)))
+    cand = []  # (row_a, row_b, sel, idx_row)
 
-    # ---- phase 2: collect candidate pairs (host) -------------------------
-    cand = []  # (ia, ib, sel, idx_row)
-    for n, (a, b) in enumerate(sched):
-        sel = np.nonzero(idx_all[n] >= 0)[0]
-        if len(sel) >= m.min_num_inliers:
-            cand.append((image_ids[a], image_ids[b], sel, idx_all[n]))
+    def drain_bank(pairs_blk, idx_dev):
+        idx_all = np.asarray(idx_dev)
+        for n, (a, b) in enumerate(pairs_blk):
+            sel = np.nonzero(idx_all[n] >= 0)[0]
+            if len(sel) >= m.min_num_inliers:
+                cand.append((a, b, sel, idx_all[n]))
 
-    # ---- phase 3: ALL two-view geometries in ONE device dispatch ---------
+    pending = None
+    for blk in sorted(by_bank):
+        pairs_blk = by_bank[blk]
+        s0 = blk * B
+        Db, Vb = build_bank(s0)
+        NP1 = 8
+        while NP1 < len(pairs_blk):
+            NP1 *= 2
+        ai = np.zeros(NP1, np.int32)
+        bi = np.zeros(NP1, np.int32)
+        for n, (a, b) in enumerate(pairs_blk):
+            ai[n], bi[n] = a - s0, b - s0
+        idx_dev = match_all(jnp.asarray(Db), jnp.asarray(Vb),
+                            jnp.asarray(ai), jnp.asarray(bi))
+        _copy_to_host_async(idx_dev)
+        if pending is not None:
+            drain_bank(*pending)
+        pending = (pairs_blk, idx_dev)
+    if pending is not None:
+        drain_bank(*pending)
+
+    # ---- phase 3: two-view geometries in fixed-size pair chunks ----------
     pair_ids, tvg_rows, match_lists = [], [], []
     if cand:
         P = _round_up(max(max(len(c[2]) for c in cand), 8), 256)
-        NP = len(cand)
-        # bucket the pair count so jit signatures repeat across datasets
-        NP_pad = 8
-        while NP_pad < NP:
-            NP_pad *= 2
-        NP = NP_pad
-        uv1p = np.zeros((NP, P, 2))
-        uv2p = np.zeros((NP, P, 2))
-        vmp = np.zeros((NP, P), bool)
-        K1p = np.tile(np.eye(3) * 100.0, (NP, 1, 1))  # padded rows: benign K
-        K2p = np.tile(np.eye(3) * 100.0, (NP, 1, 1))
-        for n, (ia, ib, sel, idx_row) in enumerate(cand):
-            k_n = min(len(sel), P)
-            uv1p[n, :k_n] = kp[ia][sel[:k_n], :2]
-            uv2p[n, :k_n] = kp[ib][idx_row[sel[:k_n]], :2]
-            vmp[n, :k_n] = True
-            K1p[n] = _cam_K(cameras[ia])
-            K2p[n] = _cam_K(cameras[ib])
-        keys = jax.random.split(key, NP)
         n_models = 3 if m.multiple_models else 1
         verify_all = _verify_all_fn(m.max_error, m.min_num_inliers,
                                     m.min_inlier_ratio,
                                     min(m.max_num_trials, 1024),
                                     max_models=n_models)
-        packed = np.asarray(verify_all(
-            keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
-            jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p)))
+        VC = 8
+        while VC < min(len(cand), max(m.verify_batch_pairs, 8)):
+            VC *= 2
 
-        for n, (ia, ib, sel, idx_row) in enumerate(cand):
-            # one table row per model found (the reference serializes a
-            # vector<TVG> per pair, io.cc:224-304); single-model runs have
-            # exactly one row. Extra models' configs become MULTIPLE.
-            found = [r for r in range(n_models)
-                     if int(packed[n, r, 0]) not in (tv_ops.DEGENERATE,
-                                                     tv_ops.UNDEFINED)
-                     and int(packed[n, r, 1]) >= m.min_num_inliers]
-            for r in found:
-                row = packed[n, r, :37].astype(np.float64)
-                if len(found) > 1:
-                    row[0] = tv_ops.MULTIPLE
+        def drain_verify(chunk, packed_dev):
+            packed = np.asarray(packed_dev)
+            for n, (a, b, sel, idx_row) in enumerate(chunk):
+                ia, ib = image_ids[a], image_ids[b]
+                # one table row per model found (the reference serializes a
+                # vector<TVG> per pair, io.cc:224-304); single-model runs
+                # have exactly one row. Extra models' configs -> MULTIPLE.
+                found = [r for r in range(n_models)
+                         if int(packed[n, r, 0]) not in (tv_ops.DEGENERATE,
+                                                         tv_ops.UNDEFINED)
+                         and int(packed[n, r, 1]) >= m.min_num_inliers]
+                for r in found:
+                    row = packed[n, r, :37].astype(np.float64)
+                    if len(found) > 1:
+                        row[0] = tv_ops.MULTIPLE
+                    k_n = min(len(sel), P)
+                    inl = packed[n, r, 37:37 + k_n] > 0.5
+                    pairs = np.stack([sel[:k_n][inl],
+                                      idx_row[sel[:k_n][inl]]], axis=1)
+                    pair_ids.append((ia, ib))
+                    tvg_rows.append(row)
+                    match_lists.append(pairs.astype(np.int32))
+
+        pending_v = []
+        for c0 in range(0, len(cand), VC):
+            chunk = cand[c0:c0 + VC]
+            uv1p = np.zeros((VC, P, 2))
+            uv2p = np.zeros((VC, P, 2))
+            vmp = np.zeros((VC, P), bool)
+            K1p = np.tile(np.eye(3) * 100.0, (VC, 1, 1))  # padded: benign K
+            K2p = np.tile(np.eye(3) * 100.0, (VC, 1, 1))
+            salts = np.zeros((VC, 2), np.int32)
+            for n, (a, b, sel, idx_row) in enumerate(chunk):
+                ia, ib = image_ids[a], image_ids[b]
                 k_n = min(len(sel), P)
-                inl = packed[n, r, 37:37 + k_n] > 0.5
-                pairs = np.stack([sel[:k_n][inl],
-                                  idx_row[sel[:k_n][inl]]], axis=1)
-                pair_ids.append((ia, ib))
-                tvg_rows.append(row)
-                match_lists.append(pairs.astype(np.int32))
+                uv1p[n, :k_n] = kp[ia][sel[:k_n], :2]
+                uv2p[n, :k_n] = kp[ib][idx_row[sel[:k_n]], :2]
+                vmp[n, :k_n] = True
+                K1p[n] = _cam_K(cameras[ia])
+                K2p[n] = _cam_K(cameras[ib])
+                salts[n] = (a, b)
+            keys = _pair_keys_fn()(key, jnp.asarray(salts))
+            packed_dev = verify_all(
+                keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
+                jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p))
+            _copy_to_host_async(packed_dev)
+            pending_v.append((chunk, packed_dev))
+            if len(pending_v) > 2:
+                drain_verify(*pending_v.pop(0))
+        for item in pending_v:
+            drain_verify(*item)
 
         if m.guided_matching and pair_ids:
             match_lists = _guided_rematch(
-                m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists)
+                m, image_ids, kp, desc, pair_ids, tvg_rows, match_lists,
+                B, n_bank, K_max)
 
     store.write_table(out_table, {
         "pair_image_ids": np.asarray(pair_ids, np.int64).reshape(-1, 2),
         "two_view_geometry": np.stack(tvg_rows) if tvg_rows else np.zeros((0, 37)),
         "matches": match_lists,
     }, meta={"stage": "matching", "config": vars(m),
+             "bank_images": B, "num_banks": len(by_bank),
              "pairs_per_s": len(pair_ids) / max(time.time() - t0, 1e-9)})
     log.info("matching: %d verified pairs, %.2f pairs/s",
              len(pair_ids), len(pair_ids) / max(time.time() - t0, 1e-9))
     return len(pair_ids)
 
 
-def _guided_rematch(m, image_ids, kp, D, V, pair_ids, tvg_rows, match_lists):
+def _guided_rematch(m, image_ids, kp, desc, pair_ids, tvg_rows, match_lists,
+                    B, n_bank, K_max):
     """Second matching pass constrained by each pair's estimated F
-    (guided_matching capability, colmap.proto:41). One device dispatch."""
+    (guided_matching capability, colmap.proto:41). Banked like phase 1:
+    descriptors stream through a [bank + overlap] device window."""
     id_to_row = {iid: n for n, iid in enumerate(image_ids)}
-    NP = 8
-    while NP < len(pair_ids):
-        NP *= 2
-    K_max = D.shape[1]
-    a_rows = np.zeros(NP, np.int32)
-    b_rows = np.zeros(NP, np.int32)
-    Fs = np.tile(np.eye(3, dtype=np.float64), (NP, 1, 1))
-    uv_a = np.zeros((NP, K_max, 2))
-    uv_b = np.zeros((NP, K_max, 2))
+    n_img = len(image_ids)
+    by_bank: Dict[int, list] = {}
     for n, (ia, ib) in enumerate(pair_ids):
-        a_rows[n] = id_to_row[ia]
-        b_rows[n] = id_to_row[ib]
-        Fs[n] = tvg_rows[n][17:26].reshape(3, 3)
-        uv_a[n, :len(kp[ia])] = kp[ia][:, :2]
-        uv_b[n, :len(kp[ib])] = kp[ib][:, :2]
+        by_bank.setdefault(id_to_row[ia] // B, []).append(n)
+
+    def build_bank(s0):
+        Db = np.zeros((n_bank, K_max, 128), np.float32)
+        Vb = np.zeros((n_bank, K_max), bool)
+        for r in range(min(n_bank, n_img - s0)):
+            d = desc[image_ids[s0 + r]].astype(np.float32)
+            Db[r, :len(d)] = d
+            Vb[r, :len(d)] = True
+        return Db, Vb
 
     guided_all = _guided_all_fn(m.max_error, m.max_distance, m.cross_check)
-    idx_g = np.asarray(guided_all(jnp.asarray(D), jnp.asarray(V),
-                                  jnp.asarray(a_rows), jnp.asarray(b_rows),
-                                  jnp.asarray(uv_a), jnp.asarray(uv_b),
-                                  jnp.asarray(Fs)))
-    out = []
-    for n, (ia, ib) in enumerate(pair_ids):
-        sel = np.nonzero(idx_g[n][:len(kp[ia])] >= 0)[0]
-        pairs = np.stack([sel, idx_g[n][sel]], axis=1).astype(np.int32)
-        # keep the larger of (original inliers, guided matches)
-        out.append(pairs if len(pairs) >= len(match_lists[n])
-                   else match_lists[n])
+    out = list(match_lists)
+    for blk in sorted(by_bank):
+        rows = by_bank[blk]
+        s0 = blk * B
+        Db, Vb = build_bank(s0)
+        NP = 8
+        while NP < len(rows):
+            NP *= 2
+        a_rows = np.zeros(NP, np.int32)
+        b_rows = np.zeros(NP, np.int32)
+        Fs = np.tile(np.eye(3, dtype=np.float64), (NP, 1, 1))
+        uv_a = np.zeros((NP, K_max, 2))
+        uv_b = np.zeros((NP, K_max, 2))
+        for k, n in enumerate(rows):
+            ia, ib = pair_ids[n]
+            a_rows[k] = id_to_row[ia] - s0
+            b_rows[k] = id_to_row[ib] - s0
+            Fs[k] = tvg_rows[n][17:26].reshape(3, 3)
+            uv_a[k, :len(kp[ia])] = kp[ia][:, :2]
+            uv_b[k, :len(kp[ib])] = kp[ib][:, :2]
+        idx_g = np.asarray(guided_all(jnp.asarray(Db), jnp.asarray(Vb),
+                                      jnp.asarray(a_rows),
+                                      jnp.asarray(b_rows),
+                                      jnp.asarray(uv_a), jnp.asarray(uv_b),
+                                      jnp.asarray(Fs)))
+        for k, n in enumerate(rows):
+            ia, ib = pair_ids[n]
+            sel = np.nonzero(idx_g[k][:len(kp[ia])] >= 0)[0]
+            pairs = np.stack([sel, idx_g[k][sel]], axis=1).astype(np.int32)
+            # keep the larger of (original inliers, guided matches)
+            if len(pairs) >= len(match_lists[n]):
+                out[n] = pairs
     return out
 
 
@@ -730,6 +812,7 @@ def run_undistort(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         return 0
     canvas = (_round_up(cfg.sift.max_image_size, 32),) * 2
     new_model = model.copy()
+    scale_of = cam_scales(store)
 
     batch, meta_rows = [], []
     out_paths, out_ids, out_params = [], [], []
@@ -761,7 +844,7 @@ def run_undistort(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         item = image_ops.load_for_extraction(paths[iid],
                                              cfg.sift.max_image_size, canvas)
         # params live at extraction resolution; rescale to THIS load's scale
-        s = item["scale"] / cam_scale_of(store, iid)
+        s = item["scale"] / scale_of[iid]
         scaled = np.asarray(cam.params_padded, np.float64).copy()
         n_f = 1 if cam.model_id in (camlib.SIMPLE_PINHOLE, camlib.SIMPLE_RADIAL,
                                     camlib.RADIAL) else 2
@@ -807,6 +890,7 @@ def run_prepare_patch_match(cfg: PipelineConfig,
     canvas = (_round_up(pm.max_image_size, 32),) * 2
     rows = {"image_id": [], "R": [], "T": [], "K": [], "width": [],
             "height": [], "bitmap": [], "depth_min": [], "depth_max": []}
+    scale_of = cam_scales(store)
     for iid in sorted(model.registered_image_ids):
         im = model.images[iid]
         cam = model.cameras[im.camera_id]
@@ -827,7 +911,7 @@ def run_prepare_patch_match(cfg: PipelineConfig,
         item = image_ops.load_for_extraction(paths[iid], pm.max_image_size, canvas)
         h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
         # rescale intrinsics: camera was built at extraction resolution
-        s_mvs = item["scale"] / cam_scale_of(store, iid)
+        s_mvs = item["scale"] / scale_of[iid]
         K = _cam_K((cam.model_id, list(cam.params), cam.width, cam.height, cam.prior_focal))
         K = K * np.array([[s_mvs], [s_mvs], [1.0]])
         rows["image_id"].append(iid)
@@ -854,12 +938,18 @@ def run_prepare_patch_match(cfg: PipelineConfig,
     return len(rows["image_id"])
 
 
+def cam_scales(store: ArtifactStore) -> Dict[int, float]:
+    """Extraction downscale factor per image id (camera resolution basis).
+    ONE table read for the whole collection — callers loop over images, so a
+    per-image read would be O(N^2) in collection size."""
+    ext = store.read_table("extraction", columns=["image_id", "camera"])
+    return {int(i): float(row[4])
+            for i, row in zip(ext["image_id"], ext["camera"])}
+
+
 def cam_scale_of(store: ArtifactStore, iid: int) -> float:
     """Extraction downscale factor for image iid (camera resolution basis)."""
-    ext = store.read_table("extraction", columns=["image_id", "camera"])
-    ids = [int(i) for i in ext["image_id"]]
-    row = ext["camera"][ids.index(iid)]
-    return float(row[4])
+    return cam_scales(store)[iid]
 
 
 # ---------------------------------------------------------------------------
@@ -1108,10 +1198,18 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         tvecs=jnp.asarray(tvecs), Ks=jnp.asarray(Ks),
         valid=jnp.asarray(valid))
     t0 = time.time()
+    # bounded voting window (auto: 2x the PatchMatch source window — votes
+    # beyond it are rare since depth maps were built from window sources)
+    if fu.window == 0:
+        win = 2 * cfg.patch_match.overlap
+    elif fu.window < 0:
+        win = None  # all-pairs
+    else:
+        win = fu.window
     out = fusion_ops.fuse_depth_maps(
         inp, max_depth_error=fu.max_depth_error,
         max_normal_error_rad=math.radians(fu.max_normal_error_deg),
-        min_num_consistent=fu.min_num_consistent)
+        min_num_consistent=fu.min_num_consistent, window=win)
     pts = fusion_ops.compact_fused_points_device(out)
     rate = len(pts["xyz"]) / max(time.time() - t0, 1e-9)
     store.write_table("fused", {

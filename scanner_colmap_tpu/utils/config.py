@@ -49,6 +49,15 @@ class MatchingConfig:
     min_num_inliers: int = 15           # colmap.proto:35
     multiple_models: bool = False       # colmap.proto:38
     guided_matching: bool = False       # colmap.proto:41
+    # descriptor-bank residency (the packetized-stencil analog of the
+    # reference's io/work_packet_size, feature_matching.py:70-74): only a
+    # window of [bank_images + overlap] images' descriptors is device-
+    # resident at a time, so matching memory is O(bank) not O(collection).
+    # 0 = auto-size the bank to ~256 MB of descriptors.
+    bank_images: int = 0
+    # geometric-verification batch: pairs per device dispatch (bounds the
+    # padded keypoint buffers at large pair counts)
+    verify_batch_pairs: int = 1024
 
 
 @dataclasses.dataclass
@@ -184,6 +193,11 @@ class FusionConfig:
     max_reproj_error: float = 2.0
     max_depth_error: float = 0.01       # relative
     max_normal_error_deg: float = 10.0
+    # voting window along the ordered view axis (COLMAP bounds fusion work
+    # the same way via overlap sets + max_traversal_depth,
+    # stereo_fusion.cc:210-240). Memory is O(N*H*W*window) instead of
+    # O(N*H*W*N). 0 = auto (2x the PatchMatch source window); -1 = all-pairs.
+    window: int = 0
 
 
 @dataclasses.dataclass

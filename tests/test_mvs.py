@@ -144,6 +144,64 @@ def test_fusion_consistent_views_emit_points(rng):
     assert len(pts["xyz"]) < 1.5 * H * W
 
 
+def _plane_fusion_input(n_views, H=16, W=20, depth0=4.0, baseline=0.12):
+    """N fronto-parallel views of the plane z=depth0 with perfect depths."""
+    focal = 40.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+    qs = np.tile([1.0, 0, 0, 0], (n_views, 1))
+    ts = np.stack([np.array([baseline * i, 0, 0]) for i in range(n_views)])
+    depths = np.full((n_views, H, W), depth0)
+    normals = np.zeros((n_views, H, W, 3))
+    normals[..., 2] = -1.0
+    colors = np.full((n_views, H, W, 3), 0.5)
+    return fusion.FusionInput(
+        depths=jnp.asarray(depths), normals=jnp.asarray(normals),
+        colors=jnp.asarray(colors), qvecs=jnp.asarray(qs),
+        tvecs=jnp.asarray(ts), Ks=jnp.asarray(np.stack([K] * n_views)),
+        valid=jnp.ones((n_views, H, W), bool))
+
+
+def test_fusion_windowed_equals_allpairs(rng):
+    """window >= N-1 reproduces the all-pairs result exactly (the VERDICT
+    'outputs unchanged at N <= window' contract)."""
+    inp = _plane_fusion_input(6)
+    out_full = fusion.fuse_depth_maps(inp, min_num_consistent=2, window=None)
+    out_win = fusion.fuse_depth_maps(inp, min_num_consistent=2, window=8)
+    pts_full = fusion.compact_fused_points(out_full)
+    pts_win = fusion.compact_fused_points(out_win)
+    assert len(pts_full["xyz"]) == len(pts_win["xyz"]) > 0
+    np.testing.assert_array_equal(np.asarray(pts_full["xyz"]),
+                                  np.asarray(pts_win["xyz"]))
+    np.testing.assert_array_equal(pts_full["num_consistent"],
+                                  pts_win["num_consistent"])
+    np.testing.assert_array_equal(pts_full["visibility"],
+                                  pts_win["visibility"])
+    # device-side compaction agrees with host-side on the windowed layout
+    pts_dev = fusion.compact_fused_points_device(out_win)
+    order_a = np.lexsort(np.asarray(pts_win["xyz"]).T)
+    order_b = np.lexsort(np.asarray(pts_dev["xyz"]).T)
+    np.testing.assert_allclose(
+        np.asarray(pts_win["xyz"])[order_a],
+        np.asarray(pts_dev["xyz"])[order_b], rtol=1e-5)
+    np.testing.assert_array_equal(pts_win["visibility"][order_a],
+                                  pts_dev["visibility"][order_b])
+
+
+def test_fusion_window_bounds_memory_100_views(rng):
+    """100 views fuse with a bounded visibility tensor: (N,H,W,2*win+1)
+    slots instead of the O(N^2) (N,H,W,N) tensor that died at Gerrard-Hall
+    scale (VERDICT missing #3)."""
+    n = 100
+    inp = _plane_fusion_input(n, H=12, W=16)
+    out = fusion.fuse_depth_maps(inp, min_num_consistent=2, window=4)
+    assert out["visibility"].shape == (n, 12, 16, 9)  # 2*4+1, not 100
+    pts = fusion.compact_fused_points(out)
+    assert len(pts["xyz"]) > 0
+    assert pts["visibility"].shape[1] == n  # host view stays global-width
+    # support is capped by the window, not the collection
+    assert pts["num_consistent"].max() <= 9
+
+
 def test_fusion_inconsistent_views_no_points(rng):
     H, W = 24, 24
     K = np.array([[50.0, 0, 12], [0, 50.0, 12], [0, 0, 1.0]])
