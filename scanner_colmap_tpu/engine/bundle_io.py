@@ -74,9 +74,28 @@ def pack_bundle_flat(
         point_ids = []
     P = next_pow2(max(len(point_ids), 1), min_points)
 
-    cam_in = np.zeros((M, ba.NUM_CAM_IN), np.float32)
+    # shared-camera groups: images on one physical camera tie their
+    # intrinsic columns to the group LEADER inside the Schur solve (exact
+    # equality constraint — ba._intrinsic_tie_matrix). The 23rd column is
+    # emitted only when a group is nontrivial, so per-image solves keep the
+    # plain 22-column program.
+    leader_slot: Dict[int, int] = {}
+    group_col = np.zeros(M, np.float32)
+    tied = False
+    for s, iid in enumerate(image_ids):
+        cid = rec.images[iid].camera_id
+        if cid in leader_slot:
+            tied = True
+        group_col[s] = leader_slot.setdefault(cid, s)
+
+    width = ba.NUM_CAM_IN_TIED if tied else ba.NUM_CAM_IN
+    cam_in = np.zeros((M, width), np.float32)
     cam_in[:, 0] = 1.0         # identity qvec
     cam_in[:, 12:18] = 1.0     # pose_free
+    if tied:
+        cam_in[:, 22] = group_col
+        # padded slots tie to themselves
+        cam_in[len(image_ids):, 22] = np.arange(len(image_ids), M)
     for s, iid in enumerate(image_ids):
         im = rec.images[iid]
         cam = rec.cameras[im.camera_id]
@@ -134,7 +153,8 @@ def pack_bundle_flat(
     else:
         obs_in = np.zeros((P, min(max_track, 4), 4), obs_dtype)
 
-    meta = {"image_ids": list(image_ids), "point_ids": list(point_ids)}
+    meta = {"image_ids": list(image_ids), "point_ids": list(point_ids),
+            "tied": tied}
     return cam_in, pt_in, obs_in, meta
 
 
@@ -146,8 +166,9 @@ def unpack_bundle(rec: Reconstruction, params: ba.BundleParams, meta: Dict,
     log_f = np.asarray(params.log_f)
     k1 = np.asarray(params.k1)
     xyz = np.asarray(params.xyz)
-    # average intrinsic updates across slots sharing one physical camera
-    # (shared-camera mode ties them; per-image cameras are singleton groups)
+    # shared-camera slots are tied EXACTLY inside the solve (ba.cam_group) —
+    # the mean below is an identity there; it remains only as a safety net
+    # for callers that packed shared cameras without the tie column
     cam_slots: Dict[int, list] = {}
     for s, iid in enumerate(meta["image_ids"]):
         cam_slots.setdefault(rec.images[iid].camera_id, []).append(s)

@@ -244,8 +244,12 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
     share = (cfg.single_camera and all(
         (i[0], i[2], i[3]) == (infos[0][0], infos[0][2], infos[0][3])
         for i in infos))
-    cam_in = np.zeros((M, 22), np.float32)
+    # shared cameras tie intrinsic columns to slot 0 inside every BA solve
+    # (exact equality, ba.BundleConfig.cam_group); otherwise 22-col layout
+    cam_in = np.zeros((M, 23 if share else 22), np.float32)
     cam_in[:, 0] = 1.0
+    if share:
+        cam_in[n:, 22] = np.arange(n, M)  # padded slots tie to themselves
     focal = np.ones(n)
     for s, m in enumerate(members):
         model_id, params, w, h, prior = cameras[m]
@@ -381,20 +385,25 @@ _ARRAY_KEYS = ("key", "cam_in", "order", "forced", "reg_init", "obs_cam",
                "scal")
 
 
-def _pad_prep(prep, M, P, T):
+def _pad_prep(prep, M, P, T, cam_width=None):
     """Grow one cluster's packed arrays to the batch's common (M, P, T).
 
     Pad rows are exactly what `_prepare_cluster` itself emits for its own
     padding: camera slots with qw=1 and cam_valid=0 (never registered,
     excluded from BA), schedule entries of -1 (skipped by the kernel's
-    `needs` gate), tracks with obs_present=0 (pure masking).
+    `needs` gate), tracks with obs_present=0 (pure masking). cam_width
+    normalizes mixed 22/23-column clusters in one batch (padded slots and
+    untied clusters tie to themselves — an identity constraint).
     """
     S = 2 * M
     p = dict(prep)
-    if M > prep["M"]:
-        cam = np.zeros((M, 22), np.float32)
+    width = cam_width or prep["cam_in"].shape[1]
+    if M > prep["M"] or width != prep["cam_in"].shape[1]:
+        cam = np.zeros((M, width), np.float32)
         cam[:, 0] = 1.0
-        cam[: prep["M"]] = prep["cam_in"]
+        if width >= 23:
+            cam[:, 22] = np.arange(M)
+        cam[: prep["M"], : prep["cam_in"].shape[1]] = prep["cam_in"]
         p["cam_in"] = cam
         p["reg_init"] = np.pad(prep["reg_init"], (0, M - prep["M"]))
         p["pnp_thr_n"] = np.pad(prep["pnp_thr_n"], (0, M - prep["M"]),
@@ -447,7 +456,8 @@ def map_clusters_device_batch(cluster_args: Sequence[tuple],
     M = max(p["M"] for p in preps)
     P = max(p["P"] for p in preps)
     T = max(p["T"] for p in preps)
-    padded = [_pad_prep(p, M, P, T) for p in preps]
+    cam_w = max(p["cam_in"].shape[1] for p in preps)
+    padded = [_pad_prep(p, M, P, T, cam_width=cam_w) for p in preps]
     stacked = {k: np.stack([p[k] for p in padded]) for k in _ARRAY_KEYS}
 
     out = np.asarray(device_mapper.map_cluster_batch(

@@ -148,6 +148,14 @@ class IncrementalMapper:
                 continue
             if tv["tri_angle"] < min_ang:
                 continue
+            # COLMAP FindInitialImagePair: watermark/degenerate pairs carry
+            # no usable baseline (config enum in ops/two_view.py). Planar
+            # pairs stay eligible — their pose now comes from the H
+            # decomposition; pure-panoramic pairs are excluded by the
+            # tri_angle gate above (tri_angle == 0).
+            cfg_v = tv.get("config", 2)
+            if cfg_v in (0, 1, 7):  # UNDEFINED, DEGENERATE, WATERMARK
+                continue
             cands.append((tv["num_inliers"], i, j))
         if not cands:
             return None

@@ -73,6 +73,12 @@ class BundleConfig(NamedTuple):
     prior_k1: jax.Array          # (M,)
     prior_weight_f: jax.Array    # (M,) per-slot weight (shared-camera groups
     prior_weight_k: jax.Array    # (M,)  divide the physical camera's prior)
+    # shared-camera intrinsic tying: slot -> LEADER slot of its physical
+    # camera. None (default) = per-image intrinsics. When set, the Schur
+    # solve aggregates the intrinsic Jacobian columns of each group into the
+    # leader's column (an exact in-solve equality constraint — COLMAP's
+    # shared-camera parameter block), replacing the old post-hoc averaging.
+    cam_group: jax.Array | None = None   # (M,) int32
 
 
 def make_pose_free(M: int, fixed_full=(), fixed_tvec0=()):
@@ -287,7 +293,21 @@ def _build_normal_eqs(params, obs, cfg, lam, chunk: int, axis_name=None):
     S = jnp.where(pmask[:, None] & pmask[None, :], S, 0.0)
     S = S + jnp.where(pmask, 0.0, 1.0)[:, None] * jnp.eye(MC, dtype=S.dtype)
     rhs = jnp.where(pmask, rhs, 0.0)
-    return S, rhs, Vinv, g_p, (r, w, J_cam, J_pt)
+    return S, rhs, Vinv, g_p, (r, w, J_cam, J_pt, pmask)
+
+
+def _intrinsic_tie_matrix(cam_group, M: int, dtype):
+    """Column-merging matrix A (MC, MC) for shared-camera intrinsics:
+    pose columns stay per-slot; the intrinsic columns (log_f, k1) of every
+    slot redirect to its group LEADER's columns. The reduced system is
+    A^T S A with dc = A dc' — an exact equality constraint, so tied slots
+    receive identical updates and stay bitwise equal through the solve."""
+    k = jnp.arange(NUM_CAM_PARAMS)
+    slot = jnp.arange(M)
+    col_pose = slot[:, None] * NUM_CAM_PARAMS + k[None, :]
+    col_tied = cam_group[:, None] * NUM_CAM_PARAMS + k[None, :]
+    col = jnp.where(k[None, :] < 6, col_pose, col_tied)      # (M, 8)
+    return jax.nn.one_hot(col.reshape(-1), M * NUM_CAM_PARAMS, dtype=dtype)
 
 
 def _apply_delta(params: BundleParams, dc: jax.Array, dp: jax.Array,
@@ -295,9 +315,20 @@ def _apply_delta(params: BundleParams, dc: jax.Array, dp: jax.Array,
     M = params.qvec.shape[0]
     dc = dc.reshape(M, NUM_CAM_PARAMS)
     valid = cfg.cam_valid.astype(dc.dtype)[:, None]
+    if cfg.cam_group is not None:
+        # tied slots apply the group's intrinsic delta even while invalid
+        # (not yet registered), so group intrinsics stay exactly equal
+        grp = cfg.cam_group.astype(jnp.int32)
+        same = grp[None, :] == grp[:, None]
+        grp_alive = jnp.any(same & cfg.cam_valid[None, :], axis=1)
+        intr_mask = grp_alive.astype(dc.dtype)[:, None]
+    else:
+        intr_mask = valid
     free8 = jnp.concatenate([
         cfg.pose_free.astype(dc.dtype), jnp.ones((M, 2), dc.dtype)], axis=1)
-    dc = dc * free8 * valid
+    vmask8 = jnp.concatenate([jnp.broadcast_to(valid, (M, 6)),
+                              jnp.broadcast_to(intr_mask, (M, 2))], axis=1)
+    dc = dc * free8 * vmask8
     dq = geom.angle_axis_to_quat(dc[:, 0:3])
     q_new = geom.quat_normalize(geom.quat_mul(dq, params.qvec))
     t_new = params.tvec + dc[:, 3:6]
@@ -309,10 +340,29 @@ def _apply_delta(params: BundleParams, dc: jax.Array, dp: jax.Array,
 
 def _lm_trial(params, obs, cfg, lam, chunk, axis_name=None):
     """Solve the damped system once; return candidate params."""
-    S, rhs, Vinv, g_p, (r, w, J_cam, J_pt) = _build_normal_eqs(
+    S, rhs, Vinv, g_p, (r, w, J_cam, J_pt, pmask) = _build_normal_eqs(
         params, obs, cfg, lam, chunk, axis_name)
-    # dense solve via Cholesky with jitter fallback to solve
-    dc = jax.scipy.linalg.solve(S, rhs, assume_a="pos")
+    if cfg.cam_group is not None:
+        # exact shared-camera intrinsics: merge tied columns, solve the
+        # reduced system, broadcast the leader's delta back to every slot.
+        # The solve-side A zeroes dead rows (no identity-diag pollution from
+        # invalid/frozen slots); the APPLY-side A keeps them, so e.g. a
+        # not-yet-registered slot still tracks its group's intrinsics and
+        # joins the solve in sync when it registers.
+        MC = S.shape[0]
+        A_apply = _intrinsic_tie_matrix(cfg.cam_group.astype(jnp.int32),
+                                        params.qvec.shape[0], S.dtype)
+        A = A_apply * pmask.astype(S.dtype)[:, None]
+        St = A.T @ S @ A
+        alive = jnp.sum(A, axis=0) > 0
+        St = St + jnp.where(alive, 0.0, 1.0)[:, None] * jnp.eye(
+            MC, dtype=S.dtype)
+        rhst = A.T @ rhs
+        dct = jax.scipy.linalg.solve(St, rhst, assume_a="pos")
+        dc = A_apply @ dct
+    else:
+        # dense solve via Cholesky with jitter fallback to solve
+        dc = jax.scipy.linalg.solve(S, rhs, assume_a="pos")
     dc = jnp.where(jnp.all(jnp.isfinite(dc)), dc, jnp.zeros_like(dc))
 
     # back-substitute points: dp_j = Vinv_j (g_p_j - B_j^T dc)
@@ -424,6 +474,9 @@ def bundle_adjust_packed(
 
 
 NUM_CAM_IN = 22  # qvec4 t3 logf k1 cc2 cam_valid pose_free6 plogf pk1 pwf pwk
+# optional 23rd column: shared-camera group LEADER slot (see
+# BundleConfig.cam_group). A (M, 22) cam_in keeps per-image intrinsics.
+NUM_CAM_IN_TIED = 23
 
 
 @persistent_jit(static_argnames=("max_iterations", "chunk"))
@@ -475,7 +528,9 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
         refine_focal=scal_in[0] > 0.5, refine_distortion=scal_in[1] > 0.5,
         loss_scale=scal_in[2],
         prior_log_f=cam_in[:, 18], prior_k1=cam_in[:, 19],
-        prior_weight_f=cam_in[:, 20], prior_weight_k=cam_in[:, 21])
+        prior_weight_f=cam_in[:, 20], prior_weight_k=cam_in[:, 21],
+        cam_group=(cam_in[:, 22].astype(jnp.int32)
+                   if cam_in.shape[1] >= NUM_CAM_IN_TIED else None))
     cam, xyz, stats = bundle_adjust_packed(
         params, obs, cfg, max_iterations=max_iterations, chunk=chunk,
         initial_lambda=lam0, function_tolerance=function_tolerance)

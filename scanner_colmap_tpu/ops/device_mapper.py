@@ -163,6 +163,10 @@ def _map_cluster_impl(key, cam_in, order, forced, reg_init,
     prior_k1 = cam_in[:, 19]
     prior_wf = cam_in[:, 20]
     prior_wk = cam_in[:, 21]
+    # optional 23rd column: shared-camera group leader (exact intrinsic
+    # tying inside every BA solve — ba.BundleConfig.cam_group)
+    cam_group = (cam_in[:, 22].astype(jnp.int32)
+                 if cam_in.shape[1] >= ba.NUM_CAM_IN_TIED else None)
 
     refine_focal = scal[0] > 0.5
     refine_dist = scal[1] > 0.5
@@ -189,7 +193,8 @@ def _map_cluster_impl(key, cam_in, order, forced, reg_init,
             pt_valid=pt_valid, refine_focal=refine_focal,
             refine_distortion=refine_dist, loss_scale=loss_scale,
             prior_log_f=prior_log_f, prior_k1=prior_k1,
-            prior_weight_f=prior_wf, prior_weight_k=prior_wk)
+            prior_weight_f=prior_wf, prior_weight_k=prior_wk,
+            cam_group=cam_group)
         p2, _ = ba.bundle_adjust(params, obs, cfgb, max_iterations=iters,
                                  chunk=chunk)
         cam2 = jnp.concatenate(

@@ -18,6 +18,7 @@ sequential_matching.cc:89), real intrinsics are used when available.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -308,6 +309,101 @@ def _solver_with_mask(solver):
     return run
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "solver", "residual_fn", "max_num_trials", "min_num_trials",
+    "sample_size", "confidence", "chunk"))
+def ransac_adaptive(key, x1, x2, valid, solver, residual_fn,
+                    max_num_trials: int, sample_size: int, max_error: float,
+                    confidence: float = 0.999, min_num_trials: int = 30,
+                    chunk: int = 128):
+    """Confidence-adaptive RANSAC (COLMAP trial-count semantics,
+    colmap.proto:23-29: confidence + min/max_num_trials, which the
+    reference's kernel forwards to TwoViewGeometry::Estimate,
+    sequential_matching.cc:56-60).
+
+    TPU-native form: trials run in fixed-size CHUNKS inside a
+    lax.while_loop — each chunk is one fully batched hypothesize+score pass
+    (static shapes, MXU-friendly), and the loop stops once
+    trials >= clamp(log(1-confidence)/log(1-inlier_ratio^k),
+    min_num_trials, max_num_trials). Good pairs converge in one chunk;
+    hard pairs run to max_num_trials like the static batch did.
+
+    Returns (model, inlier_mask, num_inliers, best_score, trials_used).
+    """
+    n = x1.shape[0]
+    dtype = x1.dtype
+    thr = max_error * max_error
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    max_chunks = -(-max_num_trials // chunk)
+    log_nom = math.log(max(1.0 - confidence, 1e-12))
+
+    SUB = 192
+    TOP = 32
+    use_pre = n > SUB
+
+    def dyn_bound(best_ninl):
+        ratio = jnp.clip(best_ninl.astype(dtype) / n_valid.astype(dtype),
+                         0.0, 1.0)
+        p_good = jnp.clip(ratio ** sample_size, 1e-12, 1.0 - 1e-9)
+        return log_nom / jnp.log1p(-p_good)
+
+    def cond(state):
+        c, best_score, best_model, best_ninl = state
+        trials = (c * chunk).astype(dtype)
+        need = (trials < min_num_trials) | (trials < dyn_bound(best_ninl))
+        return (c < max_chunks) & need
+
+    def body(state):
+        c, best_score, best_model, best_ninl = state
+        kd = jax.random.fold_in(key, c)
+        samples = _draw_samples(jax.random.fold_in(kd, 0), chunk,
+                                sample_size, n, valid)
+        models = solver(x1[samples], x2[samples], None, False)
+        if use_pre:
+            # preemptive two-stage MSAC (as in the static path): subset
+            # score all trials, full-score only the top candidates
+            sub_idx = _draw_samples(jax.random.fold_in(kd, 1), 1, SUB, n,
+                                    valid)[0]
+            errs_sub = residual_fn(models, x1[sub_idx][None],
+                                   x2[sub_idx][None])
+            errs_sub = jnp.where(valid[sub_idx][None, :], errs_sub, thr)
+            pre_score = jnp.sum(jnp.minimum(errs_sub, thr), axis=-1)
+            _, top_idx = jax.lax.top_k(-pre_score, min(TOP, chunk))
+            models = models[top_idx]
+        errs = residual_fn(models, x1[None], x2[None])
+        errs = jnp.where(valid[None, :], errs, thr)
+        score = jnp.sum(jnp.minimum(errs, thr), axis=-1)
+        b = jnp.argmin(score)
+        better = score[b] < best_score
+        ninl_b = jnp.sum((errs[b] < thr) & valid).astype(jnp.int32)
+        best_model = jnp.where(better, models[b], best_model)
+        best_ninl = jnp.where(better, ninl_b, best_ninl)
+        best_score = jnp.minimum(score[b], best_score)
+        return c + 1, best_score, best_model, best_ninl
+
+    init = (jnp.int32(0),
+            jnp.asarray(thr * (n + 1), dtype),
+            jnp.eye(3, dtype=dtype),
+            jnp.int32(0))
+    c_fin, best_score, best_model, _ = jax.lax.while_loop(cond, body, init)
+
+    best_err = residual_fn(best_model[None], x1[None], x2[None])[0]
+    best_err = jnp.where(valid, best_err, thr)
+    inliers = (best_err < thr) & valid
+
+    # Local optimization: refit on inliers (masked), keep if better
+    refit = solver(x1[None], x2[None], inliers[None])[0]
+    errs2 = jnp.where(valid, residual_fn(refit[None], x1[None], x2[None])[0],
+                      thr)
+    score2 = jnp.sum(jnp.minimum(errs2, thr))
+    use2 = (score2 < best_score) & (jnp.sum(inliers) >= sample_size)
+    model = jnp.where(use2, refit, best_model)
+    err_f = jnp.where(use2, errs2, best_err)
+    inl = (err_f < thr) & valid
+    return (model, inl, jnp.sum(inl), jnp.minimum(score2, best_score),
+            c_fin * chunk)
+
+
 # ---------------------------------------------------------------------------
 # Pose recovery from E
 # ---------------------------------------------------------------------------
@@ -386,12 +482,141 @@ def pose_from_essential(E, x1n, x2n, inliers):
 
 
 # ---------------------------------------------------------------------------
+# Pose from H (planar / panoramic configurations)
+# ---------------------------------------------------------------------------
+
+def decompose_homography(Hc):
+    """Candidate (R, t, n) triples from a CALIBRATED homography.
+
+    Constructive SVD decomposition (Ma-Soatto-Kosecka, "An Invitation to 3-D
+    Vision" Thm 5.19): scale by the middle singular value, build the two
+    in-plane directions u1/u2 from the singular structure of H^T H, recover
+    R from the frame correspondence and t = (H - R) n. Returns stacked
+    (4,3,3) R, (4,3) t (plane-relative scale), (4,3) n. Pure-rotation H
+    degenerates gracefully: u1 = u2 and t -> 0.
+    """
+    _, S0, _ = jnp.linalg.svd(Hc)
+    H = Hc / jnp.maximum(S0[1], 1e-12)
+    _, S, Vt = jnp.linalg.svd(H)
+    V = jnp.swapaxes(Vt, -1, -2)
+    V = V * jnp.sign(jnp.linalg.det(V))
+    v1, v2, v3 = V[:, 0], V[:, 1], V[:, 2]
+    s1, s3 = S[0], S[2]
+    denom = jnp.maximum(s1 * s1 - s3 * s3, 1e-12)
+    a = jnp.sqrt(jnp.clip((1.0 - s3 * s3) / denom, 0.0, None))
+    b = jnp.sqrt(jnp.clip((s1 * s1 - 1.0) / denom, 0.0, None))
+    u1 = a * v1 + b * v3
+    u2 = a * v1 - b * v3
+
+    def sol(u):
+        nvec = jnp.cross(v2, u)
+        U1 = jnp.stack([v2, u, nvec], axis=1)
+        W = jnp.stack([H @ v2, H @ u, jnp.cross(H @ v2, H @ u)], axis=1)
+        R = W @ U1.T
+        t = (H - R) @ nvec
+        return R, t, nvec
+
+    R1, t1, n1 = sol(u1)
+    R2, t2, n2 = sol(u2)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t1, -t1, t2, -t2])
+    ns = jnp.stack([n1, -n1, n2, -n2])
+    return Rs, ts, ns
+
+
+def pose_from_homography(H, K1, K2, x1n, x2n, inliers):
+    """Relative pose for PLANAR_OR_PANORAMIC pairs (COLMAP
+    PoseFromHomographyMatrix, reached through TwoViewGeometry pose recovery
+    that the reference's kernel invokes, sequential_matching.cc:94-101):
+    decompose K2^-1 H K1, resolve the 4-fold ambiguity by cheirality voting
+    over inlier correspondences. Returns (qvec, tvec (unit; ZERO when the
+    pair is panoramic), tri_angle, num_good)."""
+    Hc = _inv33(K2) @ H @ K1
+    # sign-normalize: valid planar correspondences have p2 . (Hc p1) > 0
+    ones = jnp.ones_like(x1n[:, :1])
+    p1 = jnp.concatenate([x1n, ones], axis=-1)
+    p2 = jnp.concatenate([x2n, ones], axis=-1)
+    s = jnp.sum(jnp.where(inliers, jnp.sum(p2 * (p1 @ Hc.T), -1), 0.0))
+    Hc = Hc * jnp.where(s < 0, -1.0, 1.0)
+    Rs, ts, ns = decompose_homography(Hc)
+    t_norms = jnp.linalg.norm(ts, axis=-1)
+    tu = ts / jnp.maximum(t_norms, 1e-12)[:, None]
+
+    def score(R, tv):
+        X, z1, z2 = _triangulate_simple(R, tv, x1n, x2n)
+        ok = (z1 > 1e-6) & (z2 > 1e-6) & inliers
+        c2 = -R.T @ tv
+        ang = geom.triangulation_angle(jnp.zeros(3), c2, X)
+        return jnp.sum(ok), ok, ang
+
+    counts, oks, angs = jax.vmap(score)(Rs, tu)
+    best = jnp.argmax(counts)
+    Rb, tb, okb, angb = Rs[best], tu[best], oks[best], angs[best]
+    # panoramic: the plane-relative baseline vanishes -> pure rotation
+    panoramic = t_norms[best] < 1e-3
+    tb = jnp.where(panoramic, jnp.zeros(3, tb.dtype), tb)
+    ang_sorted = jnp.sort(jnp.where(okb, angb, jnp.inf))
+    ngood = jnp.sum(okb)
+    med_idx = jnp.clip(ngood // 2, 0, angb.shape[0] - 1)
+    tri_angle = jnp.where((ngood > 0) & ~panoramic, ang_sorted[med_idx], 0.0)
+    return geom.rotmat_to_quat(Rb), tb, tri_angle, counts[best]
+
+
+# ---------------------------------------------------------------------------
+# Watermark detection (COLMAP DetectWatermark semantics)
+# ---------------------------------------------------------------------------
+
+def detect_watermark(x1, x2, inliers, size1, size2, max_error: float,
+                     min_inlier_ratio: float = 0.7,
+                     border_size: float = 0.1,
+                     max_candidates: int = 128,
+                     key=None):
+    """True iff the pair's inliers look like a static overlay: a pure 2D
+    translation supported by >= min_inlier_ratio of the inliers, with the
+    supporting matches concentrated in the image border region (COLMAP
+    TwoViewGeometry config enum 7, serialized by the reference's kernel —
+    the config field at io.cc:237).
+
+    TPU form of the 1-point translation RANSAC: every (subsampled) inlier's
+    displacement is a hypothesis; one (C, N) residual pass scores them all.
+    size1/size2: (width, height) per image.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    d = x2 - x1                                        # (N, 2)
+    thr = max_error * max_error
+    cand_idx = _draw_samples(key, 1, max_candidates, x1.shape[0],
+                             inliers)[0]               # (C,)
+    cand = d[cand_idx]                                 # (C, 2)
+    err = jnp.sum((cand[:, None, :] - d[None, :, :]) ** 2, -1)  # (C, N)
+    votes = jnp.sum((err < thr) & inliers[None, :], axis=-1)
+    votes = jnp.where(inliers[cand_idx], votes, -1)    # candidates must be inliers
+    best = jnp.argmax(votes)
+    trans_inl = (err[best] < thr) & inliers
+    n_trans = jnp.sum(trans_inl)
+    n_inl = jnp.maximum(jnp.sum(inliers), 1)
+
+    def in_border(x, size):
+        bx = border_size * size[0]
+        by = border_size * size[1]
+        return ((x[:, 0] < bx) | (x[:, 0] > size[0] - bx)
+                | (x[:, 1] < by) | (x[:, 1] > size[1] - by))
+
+    border = trans_inl & in_border(x1, size1) & in_border(x2, size2)
+    frac_trans = n_trans.astype(x1.dtype) / n_inl.astype(x1.dtype)
+    frac_border = (jnp.sum(border).astype(x1.dtype)
+                   / jnp.maximum(n_trans, 1).astype(x1.dtype))
+    return (frac_trans >= min_inlier_ratio) & (frac_border >= min_inlier_ratio)
+
+
+# ---------------------------------------------------------------------------
 # Full two-view estimation (COLMAP Estimate semantics)
 # ---------------------------------------------------------------------------
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_trials", "calibrated"),
+    static_argnames=("num_trials", "calibrated", "min_num_trials",
+                     "confidence", "watermark_detection"),
 )
 def estimate_two_view_geometry(
     key,
@@ -402,27 +627,39 @@ def estimate_two_view_geometry(
     max_error: float = 4.0,
     min_num_inliers: int = 15,
     min_inlier_ratio: float = 0.25,
-    num_trials: int = 512,
+    num_trials: int = 512,          # max_num_trials (colmap.proto:29)
+    min_num_trials: int = 30,       # colmap.proto:26
+    confidence: float = 0.999,      # colmap.proto:23
+    watermark_detection: bool = True,
+    size1=None, size2=None,         # (2,) image (width, height); None -> 2*pp
 ) -> TwoViewGeometry:
     """Estimate E/F/H + config + relative pose for one verified pair.
 
-    COLMAP decision logic (simplified, no watermark/multi-model):
-      - estimate F (always), H (always), E (if calibrated)
+    COLMAP decision logic (TwoViewGeometry::Estimate, which the reference's
+    kernel calls at sequential_matching.cc:94-101):
+      - estimate F (always), H (always), E (if calibrated), each with
+        confidence-adaptive trial counts (min/max_num_trials honored)
       - config CALIBRATED if E has comparable support to F, else UNCALIBRATED
-      - PLANAR_OR_PANORAMIC if H explains >= 0.8 of the best epipolar inliers
+      - PLANAR_OR_PANORAMIC if H explains >= 0.8 of the best epipolar
+        inliers; pose then comes from the H DECOMPOSITION (not E)
+      - WATERMARK if the H inliers are a border-concentrated 2D translation
       - DEGENERATE if too few inliers
     """
     kF, kH, kE = jax.random.split(key, 3)
     n = x1.shape[0]
 
-    F, inl_F, n_F, _ = ransac(kF, x1, x2, valid, _solver_with_mask(fundamental_8pt),
-                              sampson_error, num_trials, 8, max_error)
+    F, inl_F, n_F, _, _ = ransac_adaptive(
+        kF, x1, x2, valid, _solver_with_mask(fundamental_8pt), sampson_error,
+        num_trials, 8, max_error, confidence=confidence,
+        min_num_trials=min_num_trials)
     # the winner may be an unconstrained trial model (fast path skips the
     # per-trial SVD); project onto rank-2 once here
     F = enforce_rank2(F)
     F = F / jnp.maximum(jnp.linalg.norm(F), 1e-12)
-    H, inl_H, n_H, _ = ransac(kH, x1, x2, valid, _solver_with_mask(homography_dlt),
-                              homography_error, num_trials, 4, max_error)
+    H, inl_H, n_H, _, _ = ransac_adaptive(
+        kH, x1, x2, valid, _solver_with_mask(homography_dlt),
+        homography_error, num_trials, 4, max_error, confidence=confidence,
+        min_num_trials=min_num_trials)
 
     # Normalized coords for E + pose
     f1 = 0.5 * (K1[0, 0] + K1[1, 1])
@@ -433,8 +670,10 @@ def estimate_two_view_geometry(
     if calibrated:
         # threshold in normalized units
         thr_n = max_error / (0.5 * (f1 + f2))
-        E, inl_E, n_E, _ = ransac(kE, x1n, x2n, valid, _solver_with_mask(essential_8pt),
-                                  sampson_error, num_trials, 8, thr_n)
+        E, inl_E, n_E, _, _ = ransac_adaptive(
+            kE, x1n, x2n, valid, _solver_with_mask(essential_8pt),
+            sampson_error, num_trials, 8, thr_n, confidence=confidence,
+            min_num_trials=min_num_trials)
     else:
         E = K2.T @ F @ K1
         inl_E, n_E = inl_F, n_F
@@ -454,15 +693,33 @@ def estimate_two_view_geometry(
         jnp.where(planar, PLANAR_OR_PANORAMIC, jnp.where(use_E, CALIBRATED, UNCALIBRATED)),
     ).astype(jnp.int32)
 
-    # Pose from E over epipolar inliers (always computed; gated by config use)
+    if watermark_detection:
+        s1 = (2.0 * K1[:2, 2] if size1 is None else jnp.asarray(size1))
+        s2 = (2.0 * K2[:2, 2] if size2 is None else jnp.asarray(size2))
+        wm = detect_watermark(x1, x2, inl_H, s1, s2, max_error,
+                              key=jax.random.fold_in(key, 7))
+        config = jnp.where(enough & wm, WATERMARK, config).astype(jnp.int32)
+        planar = planar & ~wm
+
+    # Pose from E over epipolar inliers (always computed; gated by config)
     E_pose = jnp.where(use_E, E, K2.T @ F @ K1)
     # re-enforce essential structure for pose recovery
     Ue, Se, Vte = jnp.linalg.svd(E_pose)
     s = 0.5 * (Se[0] + Se[1])
     E_pose = Ue @ (jnp.array([s, s, 0.0])[:, None] * Vte)
-    qvec, tvec, tri_angle, _ = pose_from_essential(E_pose, x1n, x2n, epi_inl)
+    qvec_e, tvec_e, tri_angle_e, _ = pose_from_essential(E_pose, x1n, x2n,
+                                                         epi_inl)
+    # PLANAR_OR_PANORAMIC pairs take their pose from the H decomposition
+    # (COLMAP PoseFromHomographyMatrix); H inliers drive the pair then too
+    qvec_h, tvec_h, tri_angle_h, _ = pose_from_homography(H, K1, K2,
+                                                          x1n, x2n, inl_H)
+    qvec = jnp.where(planar, qvec_h, qvec_e)
+    tvec = jnp.where(planar, tvec_h, tvec_e)
+    tri_angle = jnp.where(planar, tri_angle_h, tri_angle_e)
+    pair_inl = jnp.where(planar, inl_H, epi_inl)
+    n_pair = jnp.where(planar, n_H, n_epi)
 
-    inlier_mask = epi_inl & enough
+    inlier_mask = pair_inl & enough
     return TwoViewGeometry(
         config=config,
         E=E_pose,
@@ -472,13 +729,14 @@ def estimate_two_view_geometry(
         tvec=tvec,
         tri_angle=tri_angle,
         inlier_mask=inlier_mask,
-        num_inliers=jnp.where(enough, n_epi, 0).astype(jnp.int32),
+        num_inliers=jnp.where(enough, n_pair, 0).astype(jnp.int32),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_trials", "calibrated", "max_models"),
+    static_argnames=("num_trials", "calibrated", "max_models",
+                     "min_num_trials", "confidence", "watermark_detection"),
 )
 def estimate_two_view_geometry_multiple(
     key,
@@ -491,6 +749,10 @@ def estimate_two_view_geometry_multiple(
     min_inlier_ratio: float = 0.25,
     num_trials: int = 512,
     max_models: int = 3,
+    min_num_trials: int = 30,
+    confidence: float = 0.999,
+    watermark_detection: bool = True,
+    size1=None, size2=None,
 ) -> TwoViewGeometry:
     """COLMAP ``TwoViewGeometry::EstimateMultiple`` semantics (the
     reference's multiple_models flag, sequential_matching.cc:94-100 +
@@ -508,7 +770,10 @@ def estimate_two_view_geometry_multiple(
         g = estimate_two_view_geometry(
             k, x1, x2, remaining, K1, K2, calibrated=calibrated,
             max_error=max_error, min_num_inliers=min_num_inliers,
-            min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
+            min_inlier_ratio=min_inlier_ratio, num_trials=num_trials,
+            min_num_trials=min_num_trials, confidence=confidence,
+            watermark_detection=watermark_detection,
+            size1=size1, size2=size2)
         found = g.num_inliers >= min_num_inliers
         # zero out failed rounds so downstream sees a clean miss
         g = g._replace(

@@ -140,10 +140,11 @@ def _pack_tvg(g, dtype=jnp.float32):
 
 @functools.lru_cache(maxsize=8)
 def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials,
-                   max_models=1):
-    def run(keys, uv1, uv2, vm, K1, K2):
+                   max_models=1, min_num_trials=30, confidence=0.999,
+                   watermark_detection=True):
+    def run(keys, uv1, uv2, vm, K1, K2, sz1, sz2):
         def per_pair(args):
-            k, u1, u2, v, k1m, k2m = args
+            k, u1, u2, v, k1m, k2m, s1, s2 = args
             if max_models > 1:
                 # COLMAP EstimateMultiple (reference multiple_models flag):
                 # rows = models found by greedy inlier removal
@@ -151,16 +152,25 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials,
                     k, u1, u2, v, k1m, k2m, calibrated=True,
                     max_error=max_error, min_num_inliers=min_num_inliers,
                     min_inlier_ratio=min_inlier_ratio, num_trials=num_trials,
-                    max_models=max_models)
+                    max_models=max_models, min_num_trials=min_num_trials,
+                    confidence=confidence,
+                    watermark_detection=watermark_detection,
+                    size1=s1, size2=s2)
                 return jax.vmap(_pack_tvg)(g)
             g = tv_ops.estimate_two_view_geometry(
                 k, u1, u2, v, k1m, k2m, calibrated=True,
                 max_error=max_error, min_num_inliers=min_num_inliers,
-                min_inlier_ratio=min_inlier_ratio, num_trials=num_trials)
+                min_inlier_ratio=min_inlier_ratio, num_trials=num_trials,
+                min_num_trials=min_num_trials, confidence=confidence,
+                watermark_detection=watermark_detection,
+                size1=s1, size2=s2)
             return _pack_tvg(g)[None]  # (1, 37+P)
-        return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2), 8)
+        return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2, sz1, sz2),
+                            8)
     return persistent_jit(run, salt=(max_error, min_num_inliers,
-                                     min_inlier_ratio, num_trials, max_models))
+                                     min_inlier_ratio, num_trials, max_models,
+                                     min_num_trials, confidence,
+                                     watermark_detection))
 
 
 @functools.lru_cache(maxsize=2)
@@ -503,8 +513,11 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         n_models = 3 if m.multiple_models else 1
         verify_all = _verify_all_fn(m.max_error, m.min_num_inliers,
                                     m.min_inlier_ratio,
-                                    min(m.max_num_trials, 1024),
-                                    max_models=n_models)
+                                    min(m.max_num_trials, 4096),
+                                    max_models=n_models,
+                                    min_num_trials=m.min_num_trials,
+                                    confidence=m.confidence,
+                                    watermark_detection=m.detect_watermark)
         VC = 8
         while VC < min(len(cand), max(m.verify_batch_pairs, 8)):
             VC *= 2
@@ -540,6 +553,8 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             vmp = np.zeros((VC, P), bool)
             K1p = np.tile(np.eye(3) * 100.0, (VC, 1, 1))  # padded: benign K
             K2p = np.tile(np.eye(3) * 100.0, (VC, 1, 1))
+            S1p = np.full((VC, 2), 100.0)
+            S2p = np.full((VC, 2), 100.0)
             salts = np.zeros((VC, 2), np.int32)
             for n, (a, b, sel, idx_row) in enumerate(chunk):
                 ia, ib = image_ids[a], image_ids[b]
@@ -549,11 +564,14 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 vmp[n, :k_n] = True
                 K1p[n] = _cam_K(cameras[ia])
                 K2p[n] = _cam_K(cameras[ib])
+                S1p[n] = (cameras[ia][2], cameras[ia][3])  # (width, height)
+                S2p[n] = (cameras[ib][2], cameras[ib][3])
                 salts[n] = (a, b)
             keys = _pair_keys_fn()(key, jnp.asarray(salts))
             packed_dev = verify_all(
                 keys, jnp.asarray(uv1p), jnp.asarray(uv2p),
-                jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p))
+                jnp.asarray(vmp), jnp.asarray(K1p), jnp.asarray(K2p),
+                jnp.asarray(S1p), jnp.asarray(S2p))
             _copy_to_host_async(packed_dev)
             pending_v.append((chunk, packed_dev))
             if len(pending_v) > 2:

@@ -49,6 +49,8 @@ class MatchingConfig:
     min_num_inliers: int = 15           # colmap.proto:35
     multiple_models: bool = False       # colmap.proto:38
     guided_matching: bool = False       # colmap.proto:41
+    detect_watermark: bool = True       # COLMAP TwoViewGeometry::Options
+                                        # .detect_watermark (config enum 7)
     # descriptor-bank residency (the packetized-stencil analog of the
     # reference's io/work_packet_size, feature_matching.py:70-74): only a
     # window of [bank_images + overlap] images' descriptors is device-

@@ -144,6 +144,85 @@ def test_ba_invalid_points_untouched(rng):
     assert np.allclose(np.asarray(p_out.xyz[10:20]), np.asarray(params.xyz[10:20]))
 
 
+def test_ba_shared_camera_exact_tie(rng):
+    """cam_group ties intrinsic columns inside the Schur solve (exact
+    equality constraint, VERDICT missing item: previously post-hoc slot
+    averaging): tied slots come out bitwise equal and recover the shared
+    focal from sparse per-slot information."""
+    params, obs, cfg, _ = make_bundle_problem(
+        rng, M=6, P=64, T=3, noise_px=0.5, focal=600.0, focal_err=0.08)
+    M = params.qvec.shape[0]
+    cfg = cfg._replace(refine_focal=jnp.asarray(True))
+
+    # untied: each slot's focal drifts independently on T=3 thin support
+    p_untied, _ = ba.bundle_adjust(params, obs, cfg, max_iterations=40,
+                                   chunk=32)
+    f_u = np.exp(np.asarray(p_untied.log_f))
+
+    # tied: one physical camera (all slots lead to slot 0)
+    cfg_t = cfg._replace(cam_group=jnp.zeros(M, jnp.int32))
+    p_tied, info = ba.bundle_adjust(params, obs, cfg_t, max_iterations=40,
+                                    chunk=32)
+    f_t = np.exp(np.asarray(p_tied.log_f))
+
+    assert np.all(f_t == f_t[0]), f_t          # EXACT equality, not a mean
+    assert abs(f_t[0] - 600.0) / 600.0 < 0.02, f_t[0]
+    assert np.std(f_u) > 1e-6                  # the untied slots do drift
+    # the constrained optimum beats averaging the drifted slots
+    err_tied = abs(f_t[0] - 600.0)
+    err_avg = abs(np.mean(f_u) - 600.0)
+    assert err_tied <= err_avg + 1.0, (err_tied, err_avg)
+    assert float(info["mean_reproj_px"]) < 1.0
+
+
+def test_ba_two_shared_groups(rng):
+    """Two physical cameras across six slots: each group ties internally,
+    groups stay independent."""
+    params, obs, cfg, _ = make_bundle_problem(
+        rng, M=6, P=64, T=4, noise_px=0.3, focal=600.0, focal_err=0.05)
+    cfg = cfg._replace(refine_focal=jnp.asarray(True),
+                       cam_group=jnp.asarray([0, 0, 0, 3, 3, 3], jnp.int32))
+    p_out, _ = ba.bundle_adjust(params, obs, cfg, max_iterations=40, chunk=32)
+    f = np.exp(np.asarray(p_out.log_f))
+    assert f[0] == f[1] == f[2]
+    assert f[3] == f[4] == f[5]
+    assert abs(f[0] - 600.0) / 600.0 < 0.03
+    assert abs(f[3] - 600.0) / 600.0 < 0.03
+
+
+def test_flat_tied_column_matches_config_tie(rng):
+    """bundle_adjust_flat's optional 23rd cam_in column engages the same
+    tie as BundleConfig.cam_group."""
+    params, obs, cfg, _ = make_bundle_problem(rng, noise_px=0.3,
+                                              focal_err=0.05)
+    M = params.qvec.shape[0]
+    P = params.xyz.shape[0]
+    cam_in = np.zeros((M, ba.NUM_CAM_IN_TIED), np.float32)
+    cam_in[:, 0:4] = np.asarray(params.qvec)
+    cam_in[:, 4:7] = np.asarray(params.tvec)
+    cam_in[:, 7] = np.asarray(params.log_f)
+    cam_in[:, 9:11] = np.asarray(cfg.cc)
+    cam_in[:, 11] = 1.0
+    cam_in[:, 12:18] = np.asarray(ba.make_pose_free(M, fixed_full=[0],
+                                                    fixed_tvec0=[1]))
+    cam_in[:, 18] = np.asarray(params.log_f)
+    cam_in[:, 22] = 0.0  # one shared camera
+    pt_in = np.concatenate([np.asarray(params.xyz),
+                            np.ones((P, 1))], 1).astype(np.float32)
+    uv = np.asarray(obs.uv)
+    valid = (np.asarray(obs.valid) & (uv >= 0).all(-1) & (uv < 4000).all(-1))
+    obs_f32 = np.concatenate([
+        np.asarray(obs.cam_idx, np.float32)[..., None], uv,
+        valid.astype(np.float32)[..., None]], -1).astype(np.float32)
+    scal = np.asarray([1, 0, 4.0], np.float32)  # refine focal
+    out = np.asarray(ba.bundle_adjust_flat(cam_in, pt_in, obs_f32, scal,
+                                           max_iterations=25, chunk=64))
+    cam = out[: M * 9].reshape(M, 9)
+    f = np.exp(cam[:, 7])
+    assert np.all(f == f[0]), f
+    assert abs(f[0] - 600.0) / 600.0 < 0.03
+
+
 def test_flat_quantized_obs_matches_f32(rng):
     """uint16 1/16-px quantized obs wire format solves to the same optimum
     as the f32 format (noise floor is far above the quantization step)."""

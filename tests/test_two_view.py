@@ -153,6 +153,111 @@ def test_estimate_multiple_two_motions(rng):
     assert n_inl[0] >= 60
 
 
+def test_planar_pose_from_homography(rng):
+    """PLANAR_OR_PANORAMIC pairs recover their relative pose from the H
+    decomposition (COLMAP PoseFromHomographyMatrix; VERDICT missing #4 —
+    pose previously always came from E)."""
+    uv1, uv2, K, q_gt, t_gt, _ = synthetic_pair(rng, n=120, noise=0.1,
+                                                planar=True)
+    key = jax.random.PRNGKey(2)
+    tvg = two_view.estimate_two_view_geometry(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(120, bool),
+        jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) == two_view.PLANAR_OR_PANORAMIC
+    q_est = np.asarray(tvg.qvec)
+    t_est = np.asarray(tvg.tvec)
+    dq = min(np.linalg.norm(q_est - np.asarray(q_gt)),
+             np.linalg.norm(q_est + np.asarray(q_gt)))
+    assert dq < 0.03, (q_est, q_gt)
+    assert abs(np.dot(t_est, t_gt)) > 0.99, (t_est, t_gt)
+    assert float(tvg.tri_angle) > 0.01
+
+
+def test_panoramic_pose_zero_translation(rng):
+    """A pure-rotation pair decomposes to tvec = 0 and tri_angle = 0."""
+    aa = rng.normal(size=3) * 0.08
+    q = np.asarray(geom.angle_axis_to_quat(aa))
+    R = np.asarray(geom.quat_to_rotmat(q))
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    H_gt = K @ R @ np.linalg.inv(K)
+    uv1 = np.stack([rng.uniform(50, 590, 100), rng.uniform(50, 430, 100)],
+                   axis=1)
+    p1 = np.concatenate([uv1, np.ones((100, 1))], axis=1)
+    p2 = p1 @ H_gt.T
+    uv2 = p2[:, :2] / p2[:, 2:3] + rng.normal(size=(100, 2)) * 0.1
+    tvg = two_view.estimate_two_view_geometry(
+        jax.random.PRNGKey(4), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(100, bool), jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) == two_view.PLANAR_OR_PANORAMIC
+    assert np.linalg.norm(np.asarray(tvg.tvec)) < 1e-6
+    assert float(tvg.tri_angle) == 0.0
+    q_est = np.asarray(tvg.qvec)
+    dq = min(np.linalg.norm(q_est - q), np.linalg.norm(q_est + q))
+    assert dq < 0.02
+
+
+def test_watermark_detection(rng):
+    """Border-concentrated identical-position matches (a static overlay)
+    produce config WATERMARK (enum 7, COLMAP DetectWatermark)."""
+    W, H = 640, 480
+    K = np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]])
+    # watermark matches: same pixel in both images, in the bottom border
+    n_wm = 80
+    uv_wm = np.stack([rng.uniform(0, W, n_wm),
+                      rng.uniform(H - 0.05 * H, H, n_wm)], axis=1)
+    # a few scattered random matches (noise)
+    n_noise = 20
+    uv1 = np.concatenate([uv_wm, rng.uniform(100, 400, (n_noise, 2))])
+    uv2 = np.concatenate([uv_wm, rng.uniform(100, 400, (n_noise, 2))])
+    tvg = two_view.estimate_two_view_geometry(
+        jax.random.PRNGKey(5), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(len(uv1), bool), jnp.asarray(K), jnp.asarray(K),
+        calibrated=True, size1=jnp.array([W, H]), size2=jnp.array([W, H]),
+        min_inlier_ratio=0.1)
+    assert int(tvg.config) == two_view.WATERMARK
+    # same pair with detection off never reports WATERMARK
+    tvg2 = two_view.estimate_two_view_geometry(
+        jax.random.PRNGKey(5), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(len(uv1), bool), jnp.asarray(K), jnp.asarray(K),
+        calibrated=True, watermark_detection=False, min_inlier_ratio=0.1)
+    assert int(tvg2.config) != two_view.WATERMARK
+
+
+def test_scene_matches_not_watermark(rng):
+    """A genuine scene pair (translating camera, full-frame inliers) must
+    NOT be flagged as watermark: support is not border-concentrated."""
+    uv1, uv2, K, _, _, _ = synthetic_pair(rng, n=150, noise=0.2)
+    tvg = two_view.estimate_two_view_geometry(
+        jax.random.PRNGKey(6), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(150, bool), jnp.asarray(K), jnp.asarray(K), calibrated=True)
+    assert int(tvg.config) != two_view.WATERMARK
+
+
+def test_adaptive_ransac_trial_counts(rng):
+    """Confidence-adaptive trials (colmap.proto:23-29, previously dead
+    config fields): clean data stops after min_num_trials; heavily
+    contaminated data runs to max_num_trials."""
+    uv1, uv2, K, _, _, _ = synthetic_pair(rng, n=200, noise=0.1)
+    key = jax.random.PRNGKey(0)
+    solver = two_view._solver_with_mask(two_view.fundamental_8pt)
+    _, _, n_inl, _, trials_clean = two_view.ransac_adaptive(
+        key, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(200, bool),
+        solver, two_view.sampson_error, 2048, 8, 4.0,
+        confidence=0.999, min_num_trials=30, chunk=128)
+    assert int(n_inl) > 150
+    assert int(trials_clean) >= 30           # min honored
+    assert int(trials_clean) <= 256          # early exit well below max
+
+    uv1o, uv2o, K, _, _, _ = synthetic_pair(rng, n=200, noise=0.1,
+                                            outlier_frac=0.6)
+    _, _, _, _, trials_dirty = two_view.ransac_adaptive(
+        key, jnp.asarray(uv1o), jnp.asarray(uv2o), jnp.ones(200, bool),
+        solver, two_view.sampson_error, 512, 8, 4.0,
+        confidence=0.999, min_num_trials=30, chunk=128)
+    # 40% inliers at k=8: dyn bound ~10^4 >> 512 -> runs to the cap
+    assert int(trials_dirty) == 512
+
+
 def test_null_vec_fast_matches_eigh(rng):
     """MGS null vector (solve-free trial path) agrees with exact eigh on
     batched 8x9 minimal systems."""
