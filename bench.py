@@ -99,6 +99,48 @@ def main():
     images_per_s = n_reg / max(total_t, 1e-9)
     ate = synth.evaluate_ate(model, gt)
 
+    # ---- utilization: achieved fraction of the chip's matmul peak --------
+    # (BASELINE.json's "speed-of-light per chip" check — VERDICT missing #5)
+    from scanner_colmap_tpu.utils import flops as flops_acct
+
+    peak_tflops = flops_acct.device_peak_tflops(jax.devices()[0])
+    match_meta = store.read_manifest("matching")["meta"]
+    match_fl = flops_acct.matching_flops(match_meta["scheduled_pairs"],
+                                         match_meta["k_max"])
+    match_tflops = match_fl / max(t_match, 1e-9) / 1e12
+    util = {
+        "peak_bf16_tflops": peak_tflops,
+        "matching_achieved_tflops": round(match_tflops, 3),
+        "matching_frac_of_peak": (round(match_tflops / peak_tflops, 4)
+                                  if peak_tflops else None),
+    }
+
+    # ---- BOTH mapper modes (VERDICT weak #5: bench the device-resident
+    # mapper against the host loop; headline uses cfg.mapper.mode) ---------
+    alt_mode = "device" if cfg.mapper.mode == "host" else "host"
+    alt = {}
+    if os.environ.get("BENCH_ALT_MAPPER", "1") != "0":
+        log(f"mapping (mode={alt_mode}, warmup)")
+        cfg.mapper.mode = alt_mode
+        stages.run_mapping(cfg, store)
+        t0 = time.time()
+        stages.run_mapping(cfg, store)
+        t_alt_map = time.time() - t0
+        t0 = time.time()
+        model_alt = stages.run_merge(cfg, store)
+        t_alt_merge = time.time() - t0
+        alt = {
+            "mode": alt_mode,
+            "mapping_s": round(t_alt_map + t_alt_merge, 2),
+            "registered": int(model_alt.num_registered),
+            "ate": round(float(synth.evaluate_ate(model_alt, gt)), 4),
+        }
+        log(f"alt mapper: {alt}")
+        # restore headline tables (mapping/models) for the dense phase
+        cfg.mapper.mode = "device" if alt_mode == "host" else "host"
+        stages.run_mapping(cfg, store)
+        model = stages.run_merge(cfg, store)
+
     # BA iterations/sec microbench on the flagship solve. Shapes chosen to
     # REUSE the jit signature the mapper already compiled (M=16 cameras,
     # P=1024 points, T=16 track slots, 25 iterations, chunk=1024) so this
@@ -130,8 +172,14 @@ def main():
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
                                    chunk=1024, function_tolerance=0.0)
     n_applied = float(info["iterations"])
-    ba_sustained = n_applied / max(time.time() - t0, 1e-9)
+    t_ba = max(time.time() - t0, 1e-9)
+    ba_sustained = n_applied / t_ba
     log(f"BA sustained: {ba_sustained:.0f} iters/s")
+    ba_tflops = (flops_acct.ba_flops_per_iter(16, 1024, 16) * n_applied
+                 / t_ba / 1e12)
+    util["ba_achieved_tflops"] = round(ba_tflops, 3)
+    util["ba_frac_of_peak"] = (round(ba_tflops / peak_tflops, 4)
+                               if peak_tflops else None)
 
     # dense phase (north star: fused points/sec per chip). Timed on the
     # steady-state second pass like the sparse stages.
@@ -151,6 +199,13 @@ def main():
         t0 = time.time()
         n_fused = stages.run_fusion(cfg, store)
         t_fuse = time.time() - t0
+        # gather-tap rate (the stage's budget on TPU; see utils/flops.py)
+        pm_h = cfg.patch_match.max_image_size * 3 // 4  # 4:3 bench frames
+        taps = flops_acct.patch_match_taps(
+            pm_h, cfg.patch_match.max_image_size, cfg.patch_match.overlap,
+            cfg.patch_match.window_radius, cfg.patch_match.num_iterations)
+        util["patch_match_gtaps_per_s"] = round(
+            taps * n_maps / max(t_pm, 1e-9) / 1e9, 2)
         fused_xyz = store.read_table("fused", columns=["xyz"])["xyz"]
         acc = synth.evaluate_dense(model, gt, np.asarray(fused_xyz))
         dense = {
@@ -163,6 +218,47 @@ def main():
             "surface_err_p90_rel": round(acc["p90_rel"], 5),
         }
         log(f"dense: {dense}")
+
+    # ---- REAL-PHOTOGRAPH texture eval (VERDICT missing #1): the pipeline
+    # on JPEG-compressed views of a real photo mapped onto a known 3D
+    # surface — natural-image SIFT/matching statistics + EXIF priors, ATE
+    # against exact ground truth -----------------------------------------
+    real = {}
+    if os.environ.get("BENCH_REAL", "1") != "0":
+        log("real-texture eval")
+        real_dir = os.path.join(workdir, "real_images")
+        gt_r = synth.generate_real_texture_dataset(real_dir, num_images=10,
+                                                   width=480, height=400,
+                                                   seed=1)
+        cfg_r = PipelineConfig()
+        cfg_r.image_path = real_dir
+        cfg_r.store_path = os.path.join(workdir, "real_store")
+        cfg_r.sift.max_image_size = 480
+        cfg_r.sift.max_num_features = 1024
+        cfg_r.sift.num_octaves = 3
+        cfg_r.matching.overlap = 5
+        cfg_r.mapper.single_camera = True
+        cfg_r.mapper.mode = cfg.mapper.mode
+        store_r = ArtifactStore(cfg_r.store_path)
+        stages.prepare_images(cfg_r, store_r)
+        t0 = time.time()
+        stages.run_extraction(cfg_r, store_r)
+        stages.run_matching(cfg_r, store_r)
+        stages.run_mapping(cfg_r, store_r)
+        model_r = stages.run_merge(cfg_r, store_r)
+        t_real = time.time() - t0
+        cam_r = model_r.cameras[model_r.images[0].camera_id]
+        scale_r = stages.cam_scales(store_r)[0]
+        focal_err = abs(cam_r.params[0] / scale_r - gt_r["focal"]) / gt_r["focal"]
+        real = {
+            "registered": int(model_r.num_registered),
+            "num_images": 10,
+            "ate": round(float(synth.evaluate_ate(model_r, gt_r)), 4),
+            "mean_reproj_px": round(model_r.mean_reprojection_error(), 3),
+            "focal_rel_err": round(float(focal_err), 4),
+            "images_per_s": round(model_r.num_registered / max(t_real, 1e-9), 3),
+        }
+        log(f"real-texture: {real}")
 
     baseline_images_per_s = 0.5  # nominal COLMAP-CPU e2e sparse (see docstring)
     result = {
@@ -183,7 +279,12 @@ def main():
             "ba_iters_per_sec": round(ba_iters_per_s, 2),
             "ba_iters_per_sec_sustained": round(ba_sustained, 1),
             "dense": dense,
+            "mapper_mode": cfg.mapper.mode,
+            "alt_mapper": alt,
+            "utilization": util,
+            "real_texture": real,
             "platform": jax.devices()[0].platform,
+            "device_kind": getattr(jax.devices()[0], "device_kind", ""),
         },
     }
     print(json.dumps(result))

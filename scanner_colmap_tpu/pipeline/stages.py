@@ -590,6 +590,7 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         "matches": match_lists,
     }, meta={"stage": "matching", "config": vars(m),
              "bank_images": B, "num_banks": len(by_bank),
+             "scheduled_pairs": len(sched), "k_max": K_max,
              "pairs_per_s": len(pair_ids) / max(time.time() - t0, 1e-9)})
     log.info("matching: %d verified pairs, %.2f pairs/s",
              len(pair_ids), len(pair_ids) / max(time.time() - t0, 1e-9))

@@ -137,6 +137,120 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
     return gt
 
 
+DEFAULT_TEXTURE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests", "data",
+    "grace_hopper.jpg")
+
+
+def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
+                                  width: int = 480, height: int = 400,
+                                  focal: float = 450.0, seed: int = 0,
+                                  depth0: float = 6.0,
+                                  depth_spread: float = 0.9,
+                                  texture_path: str | None = None,
+                                  jpeg_quality: int = 92):
+    """Render views of a 3D relief surface textured with a REAL PHOTOGRAPH.
+
+    The reference's only demonstrated capability is a reconstruction of
+    real photographs (Gerrard Hall, /root/reference/README.md:5-6); with
+    zero egress the closest attainable validation is real natural-image
+    pixels under exactly known geometry: the committed public-domain
+    photograph tests/data/grace_hopper.jpg (1984 US Navy portrait — rich
+    face/fabric/book texture) is mapped onto an undulating surface and
+    rendered through real pinhole cameras with per-pixel ray marching, then
+    saved as EXIF-tagged JPEGs. This exercises JPEG decode, the EXIF focal
+    prior, SIFT on natural texture, and full-pipeline ATE against exact
+    ground truth — everything the blob renderer cannot.
+
+    Returns the ground-truth dict (same schema as generate_dataset; the
+    surface matches gt_surface_z so evaluate_dense works unchanged).
+    """
+    from PIL import Image as PILImage
+
+    os.makedirs(out_dir, exist_ok=True)
+    tex_path = texture_path or DEFAULT_TEXTURE
+    with PILImage.open(tex_path) as tim:
+        tex = np.asarray(tim.convert("RGB")).astype(np.float64)
+    th, tw = tex.shape[:2]
+
+    # camera track: translate along x with slight inward yaw (same pattern
+    # as generate_dataset so pair baselines are healthy at any num_images)
+    step = 0.055 * depth0
+    track_half = 0.5 * step * max(num_images - 1, 1)
+    qs, ts = [], []
+    for i in range(num_images):
+        frac = i / max(num_images - 1, 1) - 0.5
+        aa = np.array([0.0, -frac * 0.35, 0.0])
+        q = geom.np_angle_axis_to_quat(aa)
+        C = np.array([frac * 2 * track_half, 0.1 * np.sin(frac * 5), 0.0])
+        t = -np.asarray(geom.np_quat_rotate(q, C))
+        qs.append(q)
+        ts.append(t)
+
+    # wall extent: everything any camera can see (plus margin) maps INSIDE
+    # the photo — no tiling, no repeated texture to confuse the ratio test
+    half_x = track_half + depth0 * (0.5 * width / focal) * 1.35
+    half_y = depth0 * (0.5 * height / focal) * 1.3 + 0.2
+
+    def surface_z(x, y):
+        return depth0 + depth_spread * (
+            0.5 * np.sin(0.45 * x) * np.cos(0.35 * y) + 0.25 * np.sin(0.9 * y))
+
+    def sample_texture(x, y):
+        # world (x, y) -> texture pixel, bilinear
+        u = (x + half_x) / (2 * half_x) * (tw - 1)
+        v = (y + half_y) / (2 * half_y) * (th - 1)
+        u = np.clip(u, 0.0, tw - 1.001)
+        v = np.clip(v, 0.0, th - 1.001)
+        u0 = np.floor(u).astype(np.int64)
+        v0 = np.floor(v).astype(np.int64)
+        fu = (u - u0)[..., None]
+        fv = (v - v0)[..., None]
+        c = (tex[v0, u0] * (1 - fu) * (1 - fv)
+             + tex[v0, u0 + 1] * fu * (1 - fv)
+             + tex[v0 + 1, u0] * (1 - fu) * fv
+             + tex[v0 + 1, u0 + 1] * fu * fv)
+        return c
+
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    cx, cy = width / 2.0, height / 2.0
+    for i in range(num_images):
+        R = np.asarray(geom.np_quat_to_rotmat(qs[i]))
+        C = -R.T @ ts[i]
+        # world-frame ray directions for every pixel
+        dc = np.stack([(xx - cx) / focal, (yy - cy) / focal,
+                       np.ones_like(xx)], axis=-1)
+        d = dc @ R  # R^T applied row-wise
+        dz = d[..., 2]
+        # fixed-point ray marching onto z = surface(x, y): converges fast
+        # because |grad surface| * |dx/dz| << 1 for this gentle relief
+        s = (depth0 - C[2]) / dz
+        for _ in range(15):
+            px = C[0] + s * d[..., 0]
+            py = C[1] + s * d[..., 1]
+            s = (surface_z(px, py) - C[2]) / dz
+        px = C[0] + s * d[..., 0]
+        py = C[1] + s * d[..., 1]
+        img = np.clip(sample_texture(px, py), 0, 255).astype(np.uint8)
+        pil = PILImage.fromarray(img, "RGB")
+        exif = PILImage.Exif()
+        exif[0xA405] = int(round(focal * 36.0 / width))  # FocalLengthIn35mm
+        pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
+                 quality=jpeg_quality, exif=exif)
+
+    gt = {
+        "focal": focal, "width": width, "height": height,
+        "qvecs": [q.tolist() for q in qs],
+        "tvecs": [t.tolist() for t in ts],
+        "points": [],
+        "surface": {"depth0": depth0, "depth_spread": depth_spread},
+        "texture": os.path.basename(tex_path),
+    }
+    with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
+        json.dump(gt, f)
+    return gt
+
+
 def load_ground_truth(image_dir: str):
     with open(os.path.join(image_dir, "ground_truth.json")) as f:
         gt = json.load(f)
