@@ -40,11 +40,19 @@ def decode_image(path: str) -> np.ndarray:
 
 
 def exif_focal_px(path: str, width: int) -> Optional[float]:
-    """Focal length in pixels from EXIF, COLMAP's rule: prefer
-    FocalLengthIn35mmFilm (focal_35 / 35.9 * max_dim... COLMAP uses
-    focal_35mm / 36.0 * width); fall back to FocalLength + sensor assumption
-    is NOT attempted (matches COLMAP needing sensor db). Returns None if
-    unavailable."""
+    """Focal length in pixels from EXIF (COLMAP-style priority):
+
+    1. FocalLength (mm, rational — precise) + FocalPlaneXResolution /
+       FocalPlaneResolutionUnit, which give the sensor width directly
+       (COLMAP's ExtractExifFocalLength does the same before its sensor
+       database): focal_px = f_mm / sensor_w_mm * width.
+    2. FocalLengthIn35mmFilm fallback: focal_35 / 36.0 * width. The tag is
+       INTEGER by spec, so this path carries up to ~2% rounding — real EXIF
+       behavior; a downstream intrinsic prior must expect it.
+
+    Returns None when neither is available (no sensor-database guessing,
+    matching the reference's fallback-to-default rule,
+    extraction_op.cc:49-55)."""
     try:
         from PIL import Image as PILImage
         from PIL.ExifTags import TAGS
@@ -60,6 +68,16 @@ def exif_focal_px(path: str, width: int) -> Optional[float]:
             vals.update({TAGS.get(k, k): v for k, v in ifd.items()})
         except Exception:
             pass
+        f_mm = vals.get("FocalLength")
+        xres = vals.get("FocalPlaneXResolution")
+        unit = vals.get("FocalPlaneResolutionUnit", 2)
+        exif_w = vals.get("ExifImageWidth") or width
+        if f_mm and xres:
+            unit_mm = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(int(unit))
+            if unit_mm and float(xres) > 0:
+                sensor_w_mm = float(exif_w) / float(xres) * unit_mm
+                if sensor_w_mm > 0:
+                    return float(f_mm) / sensor_w_mm * width
         f35 = vals.get("FocalLengthIn35mmFilm")
         if f35:
             return float(f35) / 36.0 * width

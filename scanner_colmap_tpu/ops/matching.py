@@ -31,6 +31,19 @@ def normalize_descriptors(desc: jax.Array) -> jax.Array:
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
+def _sim_matmul(d1: jax.Array, d2: jax.Array, precision: str):
+    """Descriptor similarity matmul. precision="bf16" runs a single-pass
+    bf16 MXU matmul with f32 accumulation — ~3x the f32 rate on TPU (f32
+    matmuls lower to multi-pass bf16). bf16's 8-bit mantissa on normalized
+    descriptors is the same quantization class as COLMAP's raw uint8
+    descriptors, so match decisions only move on ties the ratio test
+    rejects anyway; "f32" keeps the exact path."""
+    if precision == "bf16":
+        d1 = d1.astype(jnp.bfloat16)
+        d2 = d2.astype(jnp.bfloat16)
+    return jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+
+
 def _top2(sim: jax.Array):
     """Row-wise best and second-best similarity + best index. sim: (N, M)."""
     best_idx = jnp.argmax(sim, axis=-1)
@@ -42,7 +55,7 @@ def _top2(sim: jax.Array):
     return best, second, best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("cross_check",))
+@functools.partial(jax.jit, static_argnames=("cross_check", "precision"))
 def match_descriptors(
     desc1: jax.Array,
     desc2: jax.Array,
@@ -51,6 +64,7 @@ def match_descriptors(
     max_ratio: float = 0.8,
     max_distance: float = 0.7,
     cross_check: bool = True,
+    precision: str = "bf16",
 ):
     """Match desc1 (N,128) against desc2 (M,128) with masks.
 
@@ -60,7 +74,7 @@ def match_descriptors(
     """
     d1 = normalize_descriptors(desc1)
     d2 = normalize_descriptors(desc2)
-    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # (N, M) MXU
+    sim = _sim_matmul(d1, d2, precision)  # (N, M) MXU
     sim = jnp.where(valid2[None, :], sim, NEG)
 
     best, second, best_idx = _top2(sim)
@@ -80,13 +94,14 @@ def match_descriptors(
     return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
 
 
-@functools.partial(jax.jit, static_argnames=("cross_check",))
+@functools.partial(jax.jit, static_argnames=("cross_check", "precision"))
 def match_window(
     desc: jax.Array,
     valid: jax.Array,
     max_ratio: float = 0.8,
     max_distance: float = 0.7,
     cross_check: bool = True,
+    precision: str = "bf16",
 ):
     """Sequential-overlap matching for one window of images.
 
@@ -98,6 +113,8 @@ def match_window(
     The W-1 pair similarities run as ONE batched einsum on the MXU.
     """
     d = normalize_descriptors(desc)
+    if precision == "bf16":
+        d = d.astype(jnp.bfloat16)
     d0 = d[0]  # (K, 128)
     dw = d[1:]  # (W-1, K, 128)
     sim = jnp.einsum("kd,wmd->wkm", d0, dw, preferred_element_type=jnp.float32)
@@ -123,7 +140,7 @@ def match_window(
     return jax.vmap(per_pair)(sim, valid[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("cross_check",))
+@functools.partial(jax.jit, static_argnames=("cross_check", "precision"))
 def match_descriptors_guided(
     desc1: jax.Array,
     desc2: jax.Array,
@@ -136,6 +153,7 @@ def match_descriptors_guided(
     max_ratio: float = 0.9,
     max_distance: float = 0.7,
     cross_check: bool = True,
+    precision: str = "bf16",
 ):
     """Guided matching (capability of COLMAP's guided_matching flag,
     colmap.proto:41, which the reference exposes but never enables):
@@ -148,7 +166,7 @@ def match_descriptors_guided(
     """
     d1 = normalize_descriptors(desc1)
     d2 = normalize_descriptors(desc2)
-    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+    sim = _sim_matmul(d1, d2, precision)
 
     ones1 = jnp.ones_like(uv1[:, :1])
     ones2 = jnp.ones_like(uv2[:, :1])

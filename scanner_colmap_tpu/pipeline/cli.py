@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="artifact store directory")
     common.add_argument("--image_path",
                         help="input image directory")
+    common.add_argument("--profile_dir",
+                        help="capture a jax.profiler device trace for the "
+                             "run into this directory (view with "
+                             "tensorboard/xprof)")
     common.add_argument("-v", "--verbose", action="store_true")
 
     p = argparse.ArgumentParser(
@@ -134,7 +138,8 @@ def parse_args(argv=None):
     # the shared flags are declared with SUPPRESS defaults (see build_parser);
     # fill in the real defaults for whichever were never given
     for key, dflt in (("config", None), ("store_path", None),
-                      ("image_path", None), ("verbose", False)):
+                      ("image_path", None), ("verbose", False),
+                      ("profile_dir", None)):
         if not hasattr(args, key):
             setattr(args, key, dflt)
     return args
@@ -177,6 +182,13 @@ def main(argv=None):
     with open(os.path.join(cfg.store_path, "pipeline_config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    # device trace capture (the reference has printf only — SURVEY §5
+    # tracing; this wraps the run in a jax.profiler trace for xprof)
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
     if args.stage == "prepare_images":
         stages.prepare_images(cfg, store, stride=getattr(args, "stride", 1),
                               frame_range=tuple(args.range) if getattr(
@@ -201,6 +213,12 @@ def main(argv=None):
         stages.run_all(cfg, export_path=args.export_path,
                        ply_path=args.ply_path, dense=not args.sparse_only,
                        resume=args.resume)
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        logging.getLogger(__name__).info("profile trace written to %s",
+                                         args.profile_dir)
     return 0
 
 

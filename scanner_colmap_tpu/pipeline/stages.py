@@ -112,17 +112,19 @@ def _chunked_map(f, xs, chunk: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _match_all_fn(max_ratio, max_distance, cross_check):
+def _match_all_fn(max_ratio, max_distance, cross_check, precision="bf16"):
     def run(d, v, ai, bi):
         def per_pair(args):
             a, b = args
             idx, ok = matching_ops.match_descriptors(
                 d[a], d[b], v[a], v[b], max_ratio=max_ratio,
-                max_distance=max_distance, cross_check=cross_check)
+                max_distance=max_distance, cross_check=cross_check,
+                precision=precision)
             # single packed output (-1 = no match): one download round trip
             return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ai, bi), 16)
-    return persistent_jit(run, salt=(max_ratio, max_distance, cross_check))
+    return persistent_jit(run, salt=(max_ratio, max_distance, cross_check,
+                                     precision))
 
 
 def _pack_tvg(g, dtype=jnp.float32):
@@ -184,18 +186,20 @@ def _pair_keys_fn():
 
 
 @functools.lru_cache(maxsize=8)
-def _guided_all_fn(max_epipolar_error, max_distance, cross_check):
+def _guided_all_fn(max_epipolar_error, max_distance, cross_check,
+                   precision="bf16"):
     def run(d, v, ar, br, uva, uvb, fs):
         def per_pair(args):
             a, b, ua, ub, f = args
             idx, ok = matching_ops.match_descriptors_guided(
                 d[a], d[b], v[a], v[b], ua, ub, f,
                 max_epipolar_error=max_epipolar_error,
-                max_distance=max_distance, cross_check=cross_check)
+                max_distance=max_distance, cross_check=cross_check,
+                precision=precision)
             return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ar, br, uva, uvb, fs), 16)
     return persistent_jit(run, salt=(max_epipolar_error, max_distance,
-                                     cross_check))
+                                     cross_check, precision))
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +479,8 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
     # ---- phase 1: banked matching (pipelined: next bank dispatches before
     # the previous bank's matches download) --------------------------------
-    match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check)
+    match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check,
+                              m.precision)
     cand = []  # (row_a, row_b, sel, idx_row)
 
     def drain_bank(pairs_blk, idx_dev):
@@ -617,7 +622,8 @@ def _guided_rematch(m, image_ids, kp, desc, pair_ids, tvg_rows, match_lists,
             Vb[r, :len(d)] = True
         return Db, Vb
 
-    guided_all = _guided_all_fn(m.max_error, m.max_distance, m.cross_check)
+    guided_all = _guided_all_fn(m.max_error, m.max_distance, m.cross_check,
+                                m.precision)
     out = list(match_lists)
     for blk in sorted(by_bank):
         rows = by_bank[blk]

@@ -115,14 +115,10 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
         img = np.clip(img, 0, 1)
         # JPEG with EXIF focal metadata, like real photos: exercises the
         # extraction stage's EXIF camera-prior path (reference
-        # extraction_op.cc:49-55 reads EXIF focal length). The
-        # FocalLengthIn35mmFilm tag is integer — the ~2% rounding is real
-        # EXIF behavior; BA refines focal from the prior.
+        # extraction_op.cc:49-55 reads EXIF focal length).
         pil = PILImage.fromarray((img * 255).astype(np.uint8), "L").convert("RGB")
-        exif = PILImage.Exif()
-        exif[0xA405] = int(round(focal * 36.0 / width))  # FocalLengthIn35mmFilm
         pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
-                 quality=95, exif=exif)
+                 quality=95, exif=_camera_exif(focal, width))
 
     gt = {
         "focal": focal, "width": width, "height": height,
@@ -135,6 +131,22 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
     with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
         json.dump(gt, f)
     return gt
+
+
+def _camera_exif(focal: float, width: int):
+    """EXIF block a real camera would write: precise FocalLength (mm,
+    rational) + FocalPlane resolution tags (virtual 36 mm sensor), plus the
+    integer FocalLengthIn35mmFilm fallback (its ~2% rounding is real EXIF
+    behavior; the precise tags take priority in ops/image.exif_focal_px)."""
+    from PIL import Image as PILImage
+
+    exif = PILImage.Exif()
+    exif[0x920A] = round(focal * 36.0 / width, 4)   # FocalLength (mm)
+    exif[0xA20E] = round(width / 3.6, 4)            # FocalPlaneXResolution
+    exif[0xA210] = 3                                # unit: cm
+    exif[0xA002] = width                            # ExifImageWidth
+    exif[0xA405] = int(round(focal * 36.0 / width))  # FocalLengthIn35mmFilm
+    return exif
 
 
 DEFAULT_TEXTURE = os.path.join(os.path.dirname(os.path.dirname(
@@ -233,10 +245,8 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
         py = C[1] + s * d[..., 1]
         img = np.clip(sample_texture(px, py), 0, 255).astype(np.uint8)
         pil = PILImage.fromarray(img, "RGB")
-        exif = PILImage.Exif()
-        exif[0xA405] = int(round(focal * 36.0 / width))  # FocalLengthIn35mm
         pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
-                 quality=jpeg_quality, exif=exif)
+                 quality=jpeg_quality, exif=_camera_exif(focal, width))
 
     gt = {
         "focal": focal, "width": width, "height": height,

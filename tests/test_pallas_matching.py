@@ -44,7 +44,8 @@ def test_pallas_match_equals_xla_match(rng):
     v2 = rng.uniform(size=M) > 0.1
 
     idx_ref, ok_ref = matching.match_descriptors(
-        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2))
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2),
+        precision="f32")  # the pallas kernel computes f32 similarities
     idx_pl, ok_pl = match_descriptors_pallas(
         jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2),
         interpret=True)
