@@ -33,27 +33,109 @@ log = logging.getLogger(__name__)
 
 _DISABLE = bool(os.environ.get("SCT_DISABLE_JIT_CACHE"))
 
-_PKG_FP = None
+_PKG_NAME = "scanner_colmap_tpu"
+_DEP_GRAPH = None
+_MOD_FP: dict = {}
 
 
-def _package_fingerprint() -> str:
-    """Content hash of every .py in the package. A wrapped function's source
-    hash cannot see changes in its callees, so the whole package fingerprints
-    the cache: any source edit invalidates all entries (correctness first —
-    stale executables silently compute the OLD code)."""
-    global _PKG_FP
-    if _PKG_FP is None:
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        h = hashlib.sha256()
-        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
-            dirnames.sort()
-            for fn in sorted(filenames):
-                if fn.endswith(".py"):
-                    with open(os.path.join(dirpath, fn), "rb") as f:
-                        h.update(fn.encode())
-                        h.update(f.read())
-        _PKG_FP = h.hexdigest()[:16]
-    return _PKG_FP
+def _pkg_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _module_path(mod: str):
+    """Filesystem path of a package module name, or None if external."""
+    if not mod.startswith(_PKG_NAME):
+        return None
+    rel = mod[len(_PKG_NAME):].lstrip(".").replace(".", os.sep)
+    root = _pkg_root()
+    for cand in (os.path.join(root, rel + ".py"),
+                 os.path.join(root, rel, "__init__.py"),
+                 os.path.join(root, "__init__.py") if not rel else None):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def _dep_graph() -> dict:
+    """module name -> set of directly imported PACKAGE module names, from a
+    one-time ast pass over every .py (catches function-local imports too)."""
+    global _DEP_GRAPH
+    if _DEP_GRAPH is not None:
+        return _DEP_GRAPH
+    import ast
+
+    root = _pkg_root()
+    graph: dict = {}
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)[:-3].replace(os.sep, ".")
+            mod = (_PKG_NAME if rel == "__init__"
+                   else f"{_PKG_NAME}.{rel[:-9]}" if rel.endswith(".__init__")
+                   else f"{_PKG_NAME}.{rel}")
+            deps = set()
+            try:
+                tree = ast.parse(open(path, "rb").read())
+            except SyntaxError:
+                _DEP_GRAPH = None
+                return {m: {"*"} for m in graph}  # degrade: invalidate all
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name.startswith(_PKG_NAME):
+                            deps.add(a.name)
+                elif isinstance(node, ast.ImportFrom) and node.module:
+                    if node.module.startswith(_PKG_NAME):
+                        deps.add(node.module)
+                        for a in node.names:
+                            deps.add(f"{node.module}.{a.name}")
+            graph[mod] = deps
+        # don't descend into hidden/cache dirs
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "__"))]
+    _DEP_GRAPH = graph
+    return graph
+
+
+def _module_fingerprint(mod: str) -> str:
+    """Content hash of a module's TRANSITIVE package-import closure.
+
+    Replaces the whole-package fingerprint: a wrapped function can only call
+    code reachable through its module's imports (incl. function-local ones,
+    which the ast pass sees), so hashing that closure is sound while editing
+    an unrelated module no longer invalidates every cached executable (a
+    full remote recompile costs minutes per entry point)."""
+    fp = _MOD_FP.get(mod)
+    if fp is not None:
+        return fp
+    graph = _dep_graph()
+    seen, stack = set(), [mod]
+    while stack:
+        m = stack.pop()
+        # resolve `from pkg.mod import name` entries to real modules
+        while m and _module_path(m) is None and "." in m:
+            m = m.rsplit(".", 1)[0]
+        if not m or m in seen or _module_path(m) is None:
+            continue
+        seen.add(m)
+        stack.extend(graph.get(m, {"*"}))
+        if "*" in graph.get(m, set()):
+            seen = None  # degraded graph: hash everything
+            break
+    h = hashlib.sha256()
+    if seen is None:
+        seen = set(graph)
+    for m in sorted(seen):
+        path = _module_path(m)
+        if path:
+            with open(path, "rb") as f:
+                h.update(m.encode())
+                h.update(f.read())
+    fp = h.hexdigest()[:16]
+    _MOD_FP[mod] = fp
+    return fp
 
 
 def default_cache_dir() -> str:
@@ -109,7 +191,8 @@ class _PersistentJit:
         leaves, treedef = jax.tree.flatten((args, kwargs))
         sig = tuple(_leaf_sig(x) for x in leaves)
         h = hashlib.sha256(
-            repr((self._salt, _package_fingerprint(), str(treedef), sig,
+            repr((self._salt, _module_fingerprint(self._fn.__module__),
+                  str(treedef), sig,
                   jax.__version__, jax.devices()[0].device_kind,
                   len(jax.devices()))).encode()).hexdigest()[:24]
         return h
