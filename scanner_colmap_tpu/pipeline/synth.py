@@ -100,9 +100,10 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
         # perspective blob size
         s_px = sizes * focal / x_cam[:, 2] / 40.0
         img = np.full((height, width), 0.15)
-        for b in np.nonzero(vis)[0]:
-            if u[b] < -20 or u[b] > width + 20 or v[b] < -20 or v[b] > height + 20:
-                continue
+        # vectorized candidate cull: at 1k-frame scale the wall holds ~50k
+        # blobs and a python loop over all of them per frame dominates
+        cand = vis & (u >= -20) & (u <= width + 20) & (v >= -20) & (v <= height + 20)
+        for b in np.nonzero(cand)[0]:
             s = max(s_px[b], 1.2)
             r = int(4 * s) + 1
             y0, y1 = max(int(v[b]) - r, 0), min(int(v[b]) + r + 1, height)
