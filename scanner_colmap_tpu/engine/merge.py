@@ -296,6 +296,57 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
             "iterations": int(stats[2])}
 
 
+def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
+                                graph, two_view, mapper_cfg
+                                ) -> Reconstruction:
+    """COLMAP IterativeGlobalRefinement over the MERGED model with the FULL
+    correspondence graph (incremental_mapping.cc:116-139 semantics — the
+    reference runs this only per-cluster and ships the merged model
+    unrefined, merge_mapping.cc:61-76).
+
+    Transplants the merged poses/intrinsics/points into an
+    IncrementalMapper spanning every image, then runs its retriangulate /
+    global BA / complete+merge tracks / filter loop. Retriangulation over
+    the full graph creates CROSS-CLUSTER tracks the per-cluster solves
+    never saw — the constraints that pairwise Sim(3) merging cannot
+    generate, and the main lever against inter-cluster drift."""
+    from scanner_colmap_tpu.engine.incremental import IncrementalMapper
+
+    mapper = IncrementalMapper(keypoints, cameras, graph, two_view,
+                               mapper_cfg)
+    # intrinsics from the merged model (shared camera -1 or per-image ids)
+    for cid, cam in model.cameras.items():
+        if cid in mapper.rec.cameras:
+            mapper.rec.cameras[cid].params = np.array(cam.params, np.float64)
+    n = 0
+    for iid, im in model.images.items():
+        if not im.registered or iid not in mapper.rec.images:
+            continue
+        mi = mapper.rec.images[iid]
+        mi.qvec = np.asarray(im.qvec, np.float64).copy()
+        mi.tvec = np.asarray(im.tvec, np.float64).copy()
+        mapper._set_registered(iid, True)
+        n += 1
+    mapper._num_total_reg_images = n
+    if n < 2:
+        return model
+    # warm-start points (retriangulation then extends coverage)
+    for pid, pt in model.points3D.items():
+        track = []
+        for iid, k in pt.track:
+            k = int(k)
+            im = mapper.rec.images.get(iid)
+            if (im is not None and im.registered
+                    and k < len(im.point3D_ids) and im.point3D_ids[k] < 0):
+                track.append((iid, k))
+        if len(track) >= 2:
+            mapper.rec.add_point3D(np.asarray(pt.xyz, np.float64), track,
+                                   rgb=pt.rgb)
+    mapper.global_bundle_adjustment()
+    mapper.rec.compute_reprojection_errors()
+    return mapper.rec
+
+
 def merge_all(models: List[Reconstruction],
               config: Optional[MergeConfig] = None) -> Reconstruction:
     """Tree-reduce a list of submodels (adjacent pairs share overlap images).

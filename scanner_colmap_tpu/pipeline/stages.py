@@ -61,6 +61,7 @@ def _round_up(n, m):
 # ---------------------------------------------------------------------------
 
 import functools
+import inspect
 
 
 @functools.lru_cache(maxsize=8)
@@ -84,9 +85,13 @@ def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
             feats.valid[..., None].astype(feats.xy.dtype)], axis=-1)
         counts = jnp.sum(feats.valid, axis=-1).astype(jnp.int32)
         return counts, meta, sift_ops.descriptors_to_uint8(feats.desc)
-    return persistent_jit(run, salt=(max_num_features, num_octaves,
-                                     scales_per_octave, init_sigma,
-                                     peak_threshold, edge_threshold, upright))
+    return persistent_jit(
+        run, salt=(max_num_features, num_octaves, scales_per_octave,
+                   init_sigma, peak_threshold, edge_threshold, upright),
+        # the closure computes only through ops.sift: scope the source
+        # fingerprint there so unrelated stage edits don't invalidate the
+        # most expensive remote compile (SIFT: minutes)
+        fingerprint_modules=("scanner_colmap_tpu.ops.sift",))
 
 
 def _copy_to_host_async(x) -> None:
@@ -123,8 +128,10 @@ def _match_all_fn(max_ratio, max_distance, cross_check, precision="bf16"):
             # single packed output (-1 = no match): one download round trip
             return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ai, bi), 16)
-    return persistent_jit(run, salt=(max_ratio, max_distance, cross_check,
-                                     precision))
+    return persistent_jit(
+        run, salt=(max_ratio, max_distance, cross_check, precision,
+                   inspect.getsource(_chunked_map)),
+        fingerprint_modules=("scanner_colmap_tpu.ops.matching",))
 
 
 def _pack_tvg(g, dtype=jnp.float32):
@@ -169,10 +176,12 @@ def _verify_all_fn(max_error, min_num_inliers, min_inlier_ratio, num_trials,
             return _pack_tvg(g)[None]  # (1, 37+P)
         return _chunked_map(per_pair, (keys, uv1, uv2, vm, K1, K2, sz1, sz2),
                             8)
-    return persistent_jit(run, salt=(max_error, min_num_inliers,
-                                     min_inlier_ratio, num_trials, max_models,
-                                     min_num_trials, confidence,
-                                     watermark_detection))
+    return persistent_jit(
+        run, salt=(max_error, min_num_inliers, min_inlier_ratio, num_trials,
+                   max_models, min_num_trials, confidence,
+                   watermark_detection, inspect.getsource(_chunked_map),
+                   inspect.getsource(_pack_tvg)),
+        fingerprint_modules=("scanner_colmap_tpu.ops.two_view",))
 
 
 @functools.lru_cache(maxsize=2)
@@ -198,8 +207,10 @@ def _guided_all_fn(max_epipolar_error, max_distance, cross_check,
                 precision=precision)
             return jnp.where(ok, idx, -1).astype(jnp.int32)
         return _chunked_map(per_pair, (ar, br, uva, uvb, fs), 16)
-    return persistent_jit(run, salt=(max_epipolar_error, max_distance,
-                                     cross_check, precision))
+    return persistent_jit(
+        run, salt=(max_epipolar_error, max_distance, cross_check, precision,
+                   inspect.getsource(_chunked_map)),
+        fingerprint_modules=("scanner_colmap_tpu.ops.matching",))
 
 
 # ---------------------------------------------------------------------------
@@ -754,17 +765,35 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     submodels = [colmap_io.model_from_bytes(c, i, p)
                  for c, i, p in zip(tab["cameras"], tab["images"], tab["points3d"])]
     model = merge_all(submodels, cfg.merge)
-    if cfg.merge.final_ba and len(submodels) > 1:
-        from scanner_colmap_tpu.engine.merge import global_refine
+    if (cfg.merge.final_ba and len(submodels) > 1
+            and model.num_registered > cfg.merge.final_ba_max_images):
+        log.warning("merge: skipping final BA at %d images (> "
+                    "final_ba_max_images=%d; dense Schur solve bound)",
+                    model.num_registered, cfg.merge.final_ba_max_images)
+    elif cfg.merge.final_ba and len(submodels) > 1:
+        if cfg.merge.iterative_refine and store.has_table("matching"):
+            # full-graph iterative refinement: retriangulation builds
+            # cross-cluster tracks before the global solve
+            from scanner_colmap_tpu.engine.merge import (
+                iterative_global_refinement)
 
-        info = global_refine(
-            model, max_iterations=cfg.merge.final_ba_iterations,
-            filter_max_reproj_error=cfg.mapper.filter_max_reproj_error,
-            intr_prior_weight_f=cfg.mapper.intr_prior_weight_f,
-            intr_prior_weight_k=cfg.mapper.intr_prior_weight_k)
-        if info:
-            log.info("merge: final BA cost %.1f -> %.1f",
-                     info["initial_cost"], info["final_cost"])
+            image_ids_r, kp_r, _, cameras_r = _load_extraction(store)
+            graph_r, two_view_r = _build_graph(store, kp_r)
+            model = iterative_global_refinement(
+                model, kp_r, cameras_r, graph_r, two_view_r, cfg.mapper)
+            log.info("merge: iterative refinement -> %d images, %d points",
+                     model.num_registered, len(model.points3D))
+        else:
+            from scanner_colmap_tpu.engine.merge import global_refine
+
+            info = global_refine(
+                model, max_iterations=cfg.merge.final_ba_iterations,
+                filter_max_reproj_error=cfg.mapper.filter_max_reproj_error,
+                intr_prior_weight_f=cfg.mapper.intr_prior_weight_f,
+                intr_prior_weight_k=cfg.mapper.intr_prior_weight_k)
+            if info:
+                log.info("merge: final BA cost %.1f -> %.1f",
+                         info["initial_cost"], info["final_cost"])
     model.compute_reprojection_errors()
     cb, ib, pb = colmap_io.model_to_bytes(model)
     store.write_table("models", {
@@ -799,7 +828,8 @@ def _undistort_batch_fn():
                                                   new_params)
         # ONE uint8 download instead of a float map per image
         return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
-    return persistent_jit(run)
+    return persistent_jit(
+        run, fingerprint_modules=("scanner_colmap_tpu.ops.undistort",))
 
 
 def run_undistort(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,

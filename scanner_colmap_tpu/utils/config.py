@@ -166,6 +166,18 @@ class MergeConfig:
                                         # concatenation; drift accumulates
                                         # over many submodels without this)
     final_ba_iterations: int = 50
+    # full COLMAP IterativeGlobalRefinement on the merged model using the
+    # complete correspondence graph: retriangulation creates CROSS-CLUSTER
+    # tracks (constraints the per-cluster solves never saw), then
+    # BA + complete/merge tracks + filter iterate. Falls back to the single
+    # global BA when the matching table is unavailable.
+    iterative_refine: bool = True
+    # cap for the dense Schur solve on the merged model: beyond this many
+    # registered images the reduced camera system (O(M^2) memory, O(P*M^2)
+    # accumulation FLOPs) outgrows a single dense solve — the final BA is
+    # skipped with a log (cluster-level refinement already ran; a sparse/
+    # pose-graph final solve is the planned lift for 1k+ collections)
+    final_ba_max_images: int = 256
 
 
 @dataclasses.dataclass

@@ -161,12 +161,20 @@ def _leaf_sig(x):
 
 
 class _PersistentJit:
-    def __init__(self, fn, static_argnames=(), version: int = 0, salt=None):
+    def __init__(self, fn, static_argnames=(), version: int = 0, salt=None,
+                 fingerprint_modules=None):
         self._fn = fn
         self._static = tuple(static_argnames)
         self._jit = None  # built lazily (jax import deferred)
         self._mem = {}
         self._lock = threading.Lock()
+        # fingerprint scope: by default the defining module's import
+        # closure; a closure that only calls into specific op modules can
+        # narrow it (e.g. a stage wrapper around ops.sift keys on ops.sift,
+        # so edits elsewhere in the stage file don't invalidate a
+        # minutes-long remote compile). The wrapper's own source is always
+        # hashed via _salt.
+        self._fp_modules = tuple(fingerprint_modules or (fn.__module__,))
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
@@ -190,9 +198,9 @@ class _PersistentJit:
 
         leaves, treedef = jax.tree.flatten((args, kwargs))
         sig = tuple(_leaf_sig(x) for x in leaves)
+        fps = tuple(_module_fingerprint(m) for m in self._fp_modules)
         h = hashlib.sha256(
-            repr((self._salt, _module_fingerprint(self._fn.__module__),
-                  str(treedef), sig,
+            repr((self._salt, fps, str(treedef), sig,
                   jax.__version__, jax.devices()[0].device_kind,
                   len(jax.devices()))).encode()).hexdigest()[:24]
         return h
@@ -281,12 +289,17 @@ class _PersistentJit:
 
 
 def persistent_jit(fn=None, *, static_argnames=(), version: int = 0,
-                   salt=None):
+                   salt=None, fingerprint_modules=None):
     """jax.jit with a disk-backed AOT executable cache (see module doc).
 
     When wrapping a CLOSURE, pass the captured values as `salt` — the cache
     key hashes the source text, which cannot distinguish closure instances.
+    `fingerprint_modules` narrows the source-fingerprint scope to the
+    modules the closure actually computes through (default: the defining
+    module's transitive import closure).
     """
     if fn is None:
-        return lambda f: _PersistentJit(f, static_argnames, version, salt)
-    return _PersistentJit(fn, static_argnames, version, salt)
+        return lambda f: _PersistentJit(f, static_argnames, version, salt,
+                                        fingerprint_modules)
+    return _PersistentJit(fn, static_argnames, version, salt,
+                          fingerprint_modules)
