@@ -23,7 +23,10 @@ mmap columns directly without Python.
 
 from __future__ import annotations
 
+import ctypes
+import io
 import json
+import logging
 import os
 import shutil
 import time
@@ -31,7 +34,82 @@ from typing import Dict, List, Optional, Union
 
 import numpy as np
 
+log = logging.getLogger(__name__)
+
 Column = Union[np.ndarray, List[np.ndarray], List[bytes]]
+
+# columns at or above this many bytes are read as zero-copy memmaps (the
+# multi-GB bitmap/descriptor/depth columns at production scale); small
+# columns load eagerly — a memmap per tiny file wastes fd/page overhead
+MMAP_READ_THRESHOLD = 1 << 20
+
+_TIO = None
+_TIO_TRIED = False
+
+
+def _native_tio():
+    """The C++ table-IO runtime (native/table_io.cc): atomic durable column
+    writes (tmp + fsync + rename). Scanner's table store does its byte
+    movement in C++ (SURVEY §2.2); here the Python layer keeps schema and
+    manifests and delegates bulk payload writes. Falls back to plain python
+    IO when the toolchain is unavailable."""
+    global _TIO, _TIO_TRIED
+    if _TIO_TRIED:
+        return _TIO
+    _TIO_TRIED = True
+    if os.environ.get("SCT_DISABLE_NATIVE"):
+        return None
+    try:
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        sys.path.insert(0, os.path.join(root, "native"))
+        try:
+            from build import build  # type: ignore
+        finally:
+            sys.path.pop(0)
+        lib = ctypes.CDLL(build("table_io"))
+        lib.tio_write_atomic.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                         ctypes.c_int64]
+        lib.tio_write_atomic.restype = ctypes.c_int64
+        _TIO = lib
+    except Exception as e:
+        log.info("native table_io unavailable (%s); using python IO", e)
+        _TIO = None
+    return _TIO
+
+
+def _write_bytes(path: str, payload: bytes):
+    """Durable write of one column payload: native atomic tmp+fsync+rename
+    when available, else python write + fsync (same guarantee, slower)."""
+    lib = _native_tio()
+    if lib is not None:
+        buf = (ctypes.c_char * len(payload)).from_buffer_copy(payload)
+        rc = lib.tio_write_atomic(path.encode(), buf, len(payload))
+        if rc == 0:
+            return
+        log.warning("native write failed (errno %d) for %s; python IO", -rc,
+                    path)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _save_npy(path: str, arr: np.ndarray):
+    bio = io.BytesIO()
+    np.lib.format.write_array(bio, np.ascontiguousarray(arr),
+                              allow_pickle=False)
+    _write_bytes(path, bio.getvalue())
+
+
+def _load_npy(path: str) -> np.ndarray:
+    if os.path.getsize(path) >= MMAP_READ_THRESHOLD:
+        return np.load(path, mmap_mode="r")
+    return np.load(path)
 
 
 class ArtifactStore:
@@ -100,7 +178,7 @@ class ArtifactStore:
 
     def _write_column(self, tdir: str, col: str, data: Column) -> dict:
         if isinstance(data, np.ndarray):
-            np.save(os.path.join(tdir, f"{col}.npy"), data)
+            _save_npy(os.path.join(tdir, f"{col}.npy"), data)
             return {"kind": "uniform", "num_rows": int(data.shape[0]) if data.ndim else 1,
                     "dtype": str(data.dtype), "shape": list(data.shape)}
         if isinstance(data, list) and (not data or isinstance(data[0], bytes)):
@@ -108,9 +186,8 @@ class ArtifactStore:
             offsets = np.zeros(len(data) + 1, dtype=np.int64)
             if data:
                 np.cumsum([len(b) for b in data], out=offsets[1:])
-            with open(os.path.join(tdir, f"{col}.blob"), "wb") as f:
-                f.write(blob)
-            np.save(os.path.join(tdir, f"{col}.offsets.npy"), offsets)
+            _write_bytes(os.path.join(tdir, f"{col}.blob"), blob)
+            _save_npy(os.path.join(tdir, f"{col}.offsets.npy"), offsets)
             return {"kind": "bytes", "num_rows": len(data)}
         if isinstance(data, list):
             arrs = [np.asarray(a) for a in data]
@@ -126,8 +203,8 @@ class ArtifactStore:
             offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
             if arrs:
                 np.cumsum([a.shape[0] for a in arrs], out=offsets[1:])
-            np.save(os.path.join(tdir, f"{col}.npy"), flat)
-            np.save(os.path.join(tdir, f"{col}.offsets.npy"), offsets)
+            _save_npy(os.path.join(tdir, f"{col}.npy"), flat)
+            _save_npy(os.path.join(tdir, f"{col}.offsets.npy"), offsets)
             return {"kind": "ragged", "num_rows": len(arrs), "dtype": str(dtype),
                     "trailing_shape": list(trailing)}
         raise TypeError(f"unsupported column type for {col}: {type(data)}")
@@ -155,14 +232,15 @@ class ArtifactStore:
     def _read_column(self, tdir: str, col: str, info: dict) -> Column:
         kind = info["kind"]
         if kind == "uniform":
-            return np.load(os.path.join(tdir, f"{col}.npy"))
+            # large columns come back as read-only zero-copy memmaps
+            return _load_npy(os.path.join(tdir, f"{col}.npy"))
         if kind == "bytes":
             offsets = np.load(os.path.join(tdir, f"{col}.offsets.npy"))
             with open(os.path.join(tdir, f"{col}.blob"), "rb") as f:
                 blob = f.read()
             return [blob[offsets[i]:offsets[i + 1]] for i in range(len(offsets) - 1)]
         if kind == "ragged":
-            flat = np.load(os.path.join(tdir, f"{col}.npy"))
+            flat = _load_npy(os.path.join(tdir, f"{col}.npy"))
             offsets = np.load(os.path.join(tdir, f"{col}.offsets.npy"))
             return [flat[offsets[i]:offsets[i + 1]] for i in range(len(offsets) - 1)]
         raise ValueError(f"unknown column kind {kind}")

@@ -57,6 +57,35 @@ def test_cluster_schedule_10k_images():
     assert covered == set(ids)
 
 
+def test_store_large_columns_mmap_and_native_write(tmp_path, monkeypatch):
+    """Large columns round-trip through the native atomic writer and come
+    back as zero-copy memmaps; small columns stay eager arrays."""
+    import numpy as np
+
+    from scanner_colmap_tpu.utils import store as store_mod
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    st = ArtifactStore(str(tmp_path))
+    big = np.arange(600_000, dtype=np.float32).reshape(-1, 3)  # ~7 MB
+    st.write_table("big", {"flat": big})
+    st.write_table("bigr", {"ragged": [big[:120_000], big[120_000:]]})
+    st.write_table("small", {"ids": np.arange(10, dtype=np.int64)})
+    t = st.read_table("big")
+    assert isinstance(t["flat"], np.memmap)
+    np.testing.assert_array_equal(np.asarray(t["flat"]), big)
+    tr = st.read_table("bigr")
+    assert isinstance(np.asarray(tr["ragged"][0]).base, np.memmap)
+    np.testing.assert_array_equal(np.asarray(tr["ragged"][1]), big[120_000:])
+    assert not isinstance(st.read_table("small")["ids"], np.memmap)
+
+    # python-IO fallback produces identical bytes
+    monkeypatch.setattr(store_mod, "_TIO", None)
+    monkeypatch.setattr(store_mod, "_TIO_TRIED", True)
+    st.write_table("big2", {"flat": big})
+    np.testing.assert_array_equal(np.asarray(st.read_table("big2")["flat"]),
+                                  big)
+
+
 def test_store_manifest_scales(tmp_path):
     """A 10k-row table round-trips with per-row ragged arrays."""
     from scanner_colmap_tpu.utils.store import ArtifactStore
