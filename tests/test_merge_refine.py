@@ -24,6 +24,22 @@ def _cfg():
     return cfg
 
 
+def test_single_ba_fallback_still_refines(rng):
+    """merge.iterative_refine=False keeps the single global-BA path
+    (global_refine) working — the fallback when no matching table exists."""
+    from scanner_colmap_tpu.engine.merge import global_refine
+
+    kp, cams, graph, tv, (qs, ts, pts) = build_synthetic_scene(
+        rng, num_images=8, num_points=250)
+    cfg = _cfg()
+    merged, subs = run_clustered_mapping(kp, cams, graph, tv, cfg,
+                                         MergeConfig(final_ba=False))
+    info = global_refine(merged)
+    assert info is not None
+    assert info["final_cost"] <= info["initial_cost"]
+    assert merged.mean_reprojection_error() < 1.0
+
+
 def test_iterative_refinement_builds_cross_cluster_tracks(rng):
     kp, cams, graph, tv, (qs, ts, pts) = build_synthetic_scene(
         rng, num_images=12, num_points=300)
