@@ -217,6 +217,20 @@ def main():
             "surface_err_median_rel": round(acc["median_rel"], 5),
             "surface_err_p90_rel": round(acc["p90_rel"], 5),
         }
+        # stage 9: TSDF + marching-tetrahedra mesh (the reference's
+        # never-shipped step); accuracy = mesh-vertex distance to the
+        # analytic surface, same metric as the fused cloud
+        t0 = time.time()
+        n_faces = stages.run_meshing(cfg, store)
+        t_mesh = time.time() - t0
+        mesh_verts = np.asarray(store.read_table("mesh")["verts"][0])
+        if len(mesh_verts):
+            macc = synth.evaluate_dense(model, gt, mesh_verts)
+            dense.update({
+                "mesh_faces": int(n_faces),
+                "meshing_s": round(t_mesh, 2),
+                "mesh_err_median_rel": round(macc["median_rel"], 5),
+            })
         log(f"dense: {dense}")
 
     # ---- REAL-PHOTOGRAPH texture eval (VERDICT missing #1): the pipeline

@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("stereo_fusion", parents=[common], help="stage 8: fuse depth maps")
     f.add_argument("--ply_path", help="write fused cloud as PLY")
 
+    msh = sub.add_parser("meshing", parents=[common],
+                         help="stage 9: TSDF + marching-tetrahedra surface "
+                              "mesh (the reference's unshipped 'coming soon' "
+                              "step)")
+    msh.add_argument("--mesh_path", help="write triangle mesh as PLY")
+
     st = sub.add_parser("set", parents=[common], help="write dotted-key config overrides into "
                                     "a JSON config file (e.g. "
                                     "matching.overlap=5 sift.upright=true)")
@@ -96,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("all", parents=[common], help="run the full pipeline")
     a.add_argument("--export_path")
     a.add_argument("--ply_path")
+    a.add_argument("--mesh_path", help="write triangle mesh as PLY")
+    a.add_argument("--no_mesh", action="store_true",
+                   help="skip the meshing stage")
     a.add_argument("--sparse_only", action="store_true")
     a.add_argument("--resume", action="store_true",
                    help="skip stages whose output table already exists")
@@ -209,10 +218,13 @@ def main(argv=None):
         stages.run_patch_match(cfg, store)
     elif args.stage == "stereo_fusion":
         stages.run_fusion(cfg, store, ply_path=args.ply_path)
+    elif args.stage == "meshing":
+        stages.run_meshing(cfg, store, mesh_path=args.mesh_path)
     elif args.stage == "all":
         stages.run_all(cfg, export_path=args.export_path,
                        ply_path=args.ply_path, dense=not args.sparse_only,
-                       resume=args.resume)
+                       resume=args.resume, mesh_path=args.mesh_path,
+                       mesh=not args.no_mesh)
     if args.profile_dir:
         import jax
 

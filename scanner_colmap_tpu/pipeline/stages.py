@@ -39,6 +39,7 @@ from scanner_colmap_tpu.models import geometry as geom
 from scanner_colmap_tpu.models.reconstruction import Reconstruction
 from scanner_colmap_tpu.ops import fusion as fusion_ops
 from scanner_colmap_tpu.ops import image as image_ops
+from scanner_colmap_tpu.ops import meshing as meshing_ops
 from scanner_colmap_tpu.ops import matching as matching_ops
 from scanner_colmap_tpu.ops import patch_match as pm_ops
 from scanner_colmap_tpu.ops import sift as sift_ops
@@ -1196,23 +1197,16 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 # stage 8: stereo fusion
 # ---------------------------------------------------------------------------
 
-def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
-               ply_path: Optional[str] = None):
-    """Fuse all depth maps into a colored point cloud (COLMAP StereoFusion
-    semantics via batched consistency voting — ops/fusion.py)."""
-    store = store or ArtifactStore(cfg.store_path)
+def _load_fusion_input(cfg: PipelineConfig, store: ArtifactStore):
+    """Assemble the padded per-view depth/normal/color/pose tensors shared
+    by fusion and meshing from the patch_match + prepare tables.
+
+    Returns (FusionInput, ids); ids is empty when no depth maps exist."""
     pm_tab = store.read_table("patch_match")
     prep = store.read_table("prepare_patch_match")
-    fu = cfg.fusion
     ids = [int(i) for i in pm_tab["image_id"]]
     if not ids:
-        store.write_table("fused", {
-            "xyz": np.zeros((0, 3), np.float32),
-            "rgb": np.zeros((0, 3), np.uint8),
-            "normal": np.zeros((0, 3), np.float32),
-            "num_consistent": np.zeros(0, np.int32),
-        }, meta={"stage": "fusion"})
-        return 0
+        return None, []
     prep_ids = [int(i) for i in prep["image_id"]]
     H = max(d.shape[0] for d in pm_tab["depth_map"])
     W = max(d.shape[1] for d in pm_tab["depth_map"])
@@ -1252,6 +1246,24 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         colors=jnp.asarray(colors), qvecs=jnp.asarray(qvecs),
         tvecs=jnp.asarray(tvecs), Ks=jnp.asarray(Ks),
         valid=jnp.asarray(valid))
+    return inp, ids
+
+
+def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+               ply_path: Optional[str] = None):
+    """Fuse all depth maps into a colored point cloud (COLMAP StereoFusion
+    semantics via batched consistency voting — ops/fusion.py)."""
+    store = store or ArtifactStore(cfg.store_path)
+    fu = cfg.fusion
+    inp, ids = _load_fusion_input(cfg, store)
+    if not ids:
+        store.write_table("fused", {
+            "xyz": np.zeros((0, 3), np.float32),
+            "rgb": np.zeros((0, 3), np.uint8),
+            "normal": np.zeros((0, 3), np.float32),
+            "num_consistent": np.zeros(0, np.int32),
+        }, meta={"stage": "fusion"})
+        return 0
     t0 = time.time()
     # bounded voting window (auto: 2x the PatchMatch source window — votes
     # beyond it are rare since depth maps were built from window sources)
@@ -1284,9 +1296,64 @@ def run_fusion(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 # end-to-end driver (the unified pipeline scanner-colmap.py failed to be)
 # ---------------------------------------------------------------------------
 
+def run_meshing(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
+                mesh_path: Optional[str] = None):
+    """Stage 9: surface mesh from the depth maps — TSDF volumetric fusion
+    (device lax.scan over views) + vectorized marching tetrahedra
+    (ops/meshing.py). Ships the reference's never-shipped meshing step
+    (/root/reference/README.md:69 "Coming soon"; poisson_recon linked but
+    unused, CMakeLists.txt:91). Grid bounds come from the fused point
+    cloud's robust percentile box, so fusion must run first."""
+    store = store or ArtifactStore(cfg.store_path)
+    me = cfg.meshing
+
+    def write_empty():
+        # single-row table (like the merged-model table): ragged cells
+        store.write_table("mesh", {
+            "verts": [np.zeros((0, 3), np.float32)],
+            "faces": [np.zeros((0, 3), np.int32)],
+            "rgb": [np.zeros((0, 3), np.uint8)],
+        }, meta={"stage": "meshing"})
+        return 0
+
+    inp, ids = _load_fusion_input(cfg, store)
+    if not ids:
+        return write_empty()
+    fused = store.read_table("fused")
+    xyz = np.asarray(fused["xyz"])
+    if len(xyz) < 16:
+        return write_empty()
+    p = me.bounds_percentile
+    lo = np.percentile(xyz, p, axis=0)
+    hi = np.percentile(xyz, 100 - p, axis=0)
+    origin, voxel, dims = meshing_ops.grid_from_bounds(
+        lo, hi, resolution=me.resolution, margin_voxels=me.margin_voxels)
+    t0 = time.time()
+    grid = meshing_ops.fuse_tsdf(inp, origin, voxel, dims,
+                                 trunc_voxels=me.trunc_voxels)
+    t_tsdf = time.time() - t0
+    t0 = time.time()
+    verts, faces, rgb = meshing_ops.marching_tetrahedra(
+        grid, min_weight=me.min_weight)
+    t_mc = time.time() - t0
+    store.write_table("mesh", {
+        "verts": [verts.astype(np.float32)],
+        "faces": [faces.astype(np.int32)],
+        "rgb": [np.clip(rgb * 255, 0, 255).astype(np.uint8)],
+    }, meta={"stage": "meshing", "dims": list(dims),
+             "voxel": float(voxel), "tsdf_s": round(t_tsdf, 3),
+             "extract_s": round(t_mc, 3)})
+    if mesh_path and len(faces):
+        meshing_ops.write_ply_mesh(mesh_path, verts, faces, rgb)
+    log.info("meshing: %d verts / %d faces on %s grid (tsdf %.2fs, "
+             "extract %.2fs)", len(verts), len(faces), dims, t_tsdf, t_mc)
+    return len(faces)
+
+
 def run_all(cfg: PipelineConfig, export_path: Optional[str] = None,
             ply_path: Optional[str] = None, dense: bool = True,
-            resume: bool = False):
+            resume: bool = False, mesh_path: Optional[str] = None,
+            mesh: bool = True):
     """End-to-end pipeline. With resume=True, stages whose output table
     already exists are skipped — crash recovery is rerun-from-last-table,
     like the reference's materialized-table model but without force=True
@@ -1315,4 +1382,6 @@ def run_all(cfg: PipelineConfig, export_path: Optional[str] = None,
             run_patch_match(cfg, store)
         if need("fused"):
             run_fusion(cfg, store, ply_path=ply_path)
+        if mesh and need("mesh"):
+            run_meshing(cfg, store, mesh_path=mesh_path)
     return model

@@ -223,6 +223,18 @@ class FusionConfig:
 
 
 @dataclasses.dataclass
+class MeshingConfig:
+    """Surface meshing (the reference's step 8, never shipped: "coming
+    soon" README.md:69, poisson_recon linked but unused CMakeLists.txt:91).
+    TSDF fusion + marching tetrahedra — ops/meshing.py."""
+    resolution: int = 128               # cells along the longest grid axis
+    trunc_voxels: float = 3.0           # truncation band, in voxels
+    min_weight: float = 1.0             # min supporting views per grid point
+    margin_voxels: int = 4              # grid padding around the point bounds
+    bounds_percentile: float = 1.0      # robust point-cloud bounds (1/99)
+
+
+@dataclasses.dataclass
 class ParallelConfig:
     """Device mesh + packetization (replaces io/work_packet_size)."""
     batch_size: int = 8                 # images per device step (≈ work_packet_size)
@@ -240,6 +252,7 @@ class PipelineConfig:
     merge: MergeConfig = dataclasses.field(default_factory=MergeConfig)
     patch_match: PatchMatchConfig = dataclasses.field(default_factory=PatchMatchConfig)
     fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    meshing: MeshingConfig = dataclasses.field(default_factory=MeshingConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
 
     # ---- (de)serialization ------------------------------------------------

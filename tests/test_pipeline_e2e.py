@@ -88,6 +88,16 @@ def test_dense_pipeline_e2e(cfg, dataset):
     acc = synth.evaluate_dense(stages.load_model(store), gt, np.asarray(xyz))
     assert acc["median_rel"] < 0.2, acc
 
+    # stage 9: surface mesh on top of the fused cloud (the reference's
+    # never-shipped "coming soon" step, README.md:69)
+    n_faces = stages.run_meshing(cfg, store)
+    assert n_faces > 50, f"only {n_faces} mesh faces"
+    mesh = store.read_table("mesh")
+    verts = np.asarray(mesh["verts"][0])
+    faces = np.asarray(mesh["faces"][0])
+    assert np.isfinite(verts).all()
+    assert faces.min() >= 0 and faces.max() < len(verts)
+
 
 def test_undistort_stage(cfg, dataset):
     """Stage 5b: undistorted workspace (images + pinhole model export)."""
