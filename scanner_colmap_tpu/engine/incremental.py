@@ -674,11 +674,15 @@ class IncrementalMapper:
             float(self.cfg.filter_max_reproj_error)], np.float32)
 
         # segmented solve: 16-trip device programs, host-continued while
-        # unconverged (most solves stop after one segment)
+        # unconverged (most solves stop after one segment). Past the dense
+        # Schur bound (merged-model refinement spans every image) the solve
+        # switches to the matrix-free CG path.
         P = pt_in.shape[0]
+        solver = ("dense" if cam_in.shape[0]
+                  <= getattr(self.cfg, "ba_dense_max_images", 256) else "cg")
         out = ba.bundle_adjust_flat_segmented(
             cam_in, pt_in, obs_in, scal_in,
-            max_iterations=max_iterations, chunk=min(1024, P))
+            max_iterations=max_iterations, chunk=min(1024, P), solver=solver)
         M = cam_in.shape[0]
         cam = out[: M * 9].reshape(M, 9).astype(np.float64)
         xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)

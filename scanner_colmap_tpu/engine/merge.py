@@ -241,7 +241,8 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
                   filter_max_reproj_error: float = 4.0,
                   intr_prior_weight_f: float = 300.0,
                   intr_prior_weight_k: float = 3000.0,
-                  max_track: int = 16) -> Optional[dict]:
+                  max_track: int = 16,
+                  dense_max_images: int = 256) -> Optional[dict]:
     """One global BA over the (merged) model + reprojection filtering.
 
     Per-cluster BA leaves inter-submodel drift that the Sim(3) merge cannot
@@ -273,9 +274,13 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
     scal_in = np.asarray([1.0, 1.0, filter_max_reproj_error], np.float32)
 
     P = pt_in.shape[0]
+    # beyond the dense Schur bound (O(MC^2) memory, O(P*MC^2) accumulation)
+    # the solve switches to the matrix-free CG path (ba._lm_trial_cg) —
+    # same LM loop, same ties, scales to 1k-10k cameras
+    solver = "dense" if cam_in.shape[0] <= dense_max_images else "cg"
     out = ba.bundle_adjust_flat_segmented(
         cam_in, pt_in, obs_in, scal_in,
-        max_iterations=max_iterations, chunk=min(1024, P))
+        max_iterations=max_iterations, chunk=min(1024, P), solver=solver)
     M = cam_in.shape[0]
     cam = out[: M * 9].reshape(M, 9).astype(np.float64)
     xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)

@@ -376,7 +376,138 @@ def _lm_trial(params, obs, cfg, lam, chunk, axis_name=None):
     return _apply_delta(params, dc, dp, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "chunk", "axis_name"))
+def _segsum_cam(vals, cam_idx, M):
+    """Sum per-observation values (P, T, ...) into camera slots (M, ...)."""
+    flat = vals.reshape((-1,) + vals.shape[2:])
+    return jax.ops.segment_sum(flat, cam_idx.reshape(-1), num_segments=M)
+
+
+def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4):
+    """LM trial solving the Schur camera system MATRIX-FREE with
+    diagonally-preconditioned CG (Ceres ITERATIVE_SCHUR + SCHUR_JACOBI).
+
+    The dense path materializes S (MC, MC) and pays O(P·MC²) accumulation —
+    the `merge.final_ba_max_images` bound. Here S is only ever APPLIED:
+    each CG iteration costs O(P·T) gather/segment-sum work plus an
+    (M, 8, 8) block product, so one global solve scales to 1k-10k cameras
+    on a single chip. Shared-camera intrinsic ties (cfg.cam_group) are
+    applied functionally (broadcast-from-leader / sum-to-leader), the same
+    exact equality constraint as the dense tie matrix.
+    """
+    M = params.qvec.shape[0]
+    r, w, J_cam, J_pt, _ = _jacobians(params, obs, cfg)
+    wJc = J_cam * w[..., None, None]
+    wJp = J_pt * w[..., None, None]
+    dtype = r.dtype
+
+    # landmark blocks (identical to the dense path)
+    V = jnp.einsum("ptri,ptrj->pij", wJp, J_pt)
+    g_p = -jnp.einsum("ptri,ptr->pi", wJp, r)
+    Vd = V + lam * jnp.eye(3, dtype=dtype) * jnp.maximum(
+        jnp.einsum("pii->p", V), 1e-6)[:, None, None] / 3.0
+    Vd = Vd + 1e-8 * jnp.eye(3, dtype=dtype)
+    Vinv = _inv33(Vd)
+
+    # camera blocks via segment sums — no (P, T, M) one-hot materialization
+    Wc = jnp.einsum("ptri,ptrj->ptij", wJc, J_pt)            # (P,T,8,3)
+    U = _segsum_cam(jnp.einsum("ptri,ptrj->ptij", wJc, J_cam),
+                    obs.cam_idx, M)
+    g_c = -_segsum_cam(jnp.einsum("ptri,ptr->pti", wJc, r), obs.cam_idx, M)
+
+    wf = cfg.prior_weight_f
+    wk = cfg.prior_weight_k
+    U = U.at[:, 6, 6].add(wf)
+    U = U.at[:, 7, 7].add(wk)
+    g_c = g_c.at[:, 6].add(-wf * (params.log_f - cfg.prior_log_f))
+    g_c = g_c.at[:, 7].add(-wk * (params.k1 - cfg.prior_k1))
+    Ud = U + lam * jnp.eye(NUM_CAM_PARAMS, dtype=dtype) * jnp.maximum(
+        jnp.einsum("mii->m", U), 1e-6)[:, None, None] / NUM_CAM_PARAMS
+
+    # rhs = g_c - B Vinv g_p
+    y0 = jnp.einsum("pij,pj->pi", Vinv, g_p)
+    rhs = g_c - _segsum_cam(jnp.einsum("ptij,pj->pti", Wc, y0),
+                            obs.cam_idx, M)
+
+    intr8 = jnp.stack([cfg.refine_focal, cfg.refine_distortion])
+    free8 = jnp.concatenate([
+        cfg.pose_free > 0,
+        jnp.broadcast_to(intr8[None, :], (M, 2)),
+    ], axis=1)
+    pmask = free8 & cfg.cam_valid[:, None]                   # (M, 8)
+
+    group = (cfg.cam_group.astype(jnp.int32) if cfg.cam_group is not None
+             else jnp.arange(M, dtype=jnp.int32))
+    is_leader = group == jnp.arange(M, dtype=jnp.int32)
+    intr_alive = jax.ops.segment_max(
+        pmask[:, 6:8].astype(jnp.int32), group, num_segments=M) > 0
+    # reduced coordinates: pose per slot; intrinsics live on group leaders
+    rmask = jnp.concatenate(
+        [pmask[:, :6], intr_alive & is_leader[:, None]], axis=1)
+
+    def expand(xr):      # A_apply: leader intrinsics broadcast to all slots
+        return jnp.concatenate([xr[:, :6], xr[group, 6:8]], axis=1)
+
+    def reduce_(x):      # A^T: intrinsic rows sum into their leader slot
+        return jnp.concatenate([
+            x[:, :6],
+            jax.ops.segment_sum(x[:, 6:8], group, num_segments=M)], axis=1)
+
+    pm = pmask.astype(dtype)
+    rm = rmask.astype(dtype)
+
+    def matvec(xr):
+        x = expand(xr * rm) * pm                             # (M, 8)
+        ux = jnp.einsum("mij,mj->mi", Ud, x)
+        xc = x[obs.cam_idx]                                  # (P, T, 8)
+        u = jnp.einsum("ptij,pti->pj", Wc, xc)               # B^T x
+        yv = jnp.einsum("pij,pj->pi", Vinv, u)
+        z = jnp.einsum("ptij,pj->pti", Wc, yv)
+        sub = _segsum_cam(z, obs.cam_idx, M)
+        return reduce_((ux - sub) * pm) * rm
+
+    b = reduce_(rhs * pm) * rm
+    # Schur-Jacobi diagonal preconditioner on the reduced system
+    d_obs = jnp.einsum("ptij,pjk,ptik->pti", Wc, Vinv, Wc)   # (P,T,8)
+    diag_full = (jnp.einsum("mii->mi", Ud)
+                 - _segsum_cam(d_obs, obs.cam_idx, M)) * pm
+    diag_red = reduce_(diag_full) * rm
+    precond = jnp.where(diag_red > 1e-8,
+                        1.0 / jnp.maximum(diag_red, 1e-8), 1.0) * rm
+
+    b2 = jnp.sum(b * b)
+    tol2 = (cg_tol * cg_tol) * b2
+
+    def cg_body(i, st):
+        def step(x, res, p, rz, done):
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x2 = x + alpha * p
+            r2 = res - alpha * Ap
+            z2 = precond * r2
+            rz2 = jnp.sum(r2 * z2)
+            beta = rz2 / jnp.maximum(rz, 1e-30)
+            return x2, r2, z2 + beta * p, rz2, jnp.sum(r2 * r2) < tol2
+
+        return jax.lax.cond(st[4], lambda *a: a, step, *st)
+
+    z0 = precond * b
+    xr, _, _, _, _ = jax.lax.fori_loop(
+        0, cg_iters, cg_body,
+        (jnp.zeros_like(b), b, z0, jnp.sum(b * z0), jnp.asarray(False)))
+    dc_cam = expand(xr * rm)                                 # A_apply @ dct
+    dc_cam = jnp.where(jnp.all(jnp.isfinite(dc_cam)), dc_cam,
+                       jnp.zeros_like(dc_cam))
+
+    # back-substitute points: dp_j = Vinv_j (g_p_j - B_j^T dc)
+    dc_per_obs = dc_cam[obs.cam_idx]
+    Bt_dc = jnp.einsum("ptij,pti->pj", Wc, dc_per_obs)
+    dp = jnp.einsum("pij,pj->pi", Vinv, g_p - Bt_dc)
+    return _apply_delta(params, dc_cam.reshape(M * NUM_CAM_PARAMS), dp, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "chunk",
+                                             "axis_name", "solver",
+                                             "cg_iters"))
 def bundle_adjust(
     params: BundleParams,
     obs: BundleObs,
@@ -386,8 +517,14 @@ def bundle_adjust(
     initial_lambda: float = 1e-4,
     function_tolerance: float = 1e-6,
     axis_name: str | None = None,
+    solver: str = "dense",
+    cg_iters: int = 64,
 ):
     """Full in-graph LM loop with accept/reject damping adaptation.
+
+    solver="dense" factorizes the Schur complement (exact, O(MC²) memory);
+    solver="cg" applies it matrix-free with preconditioned CG
+    (_lm_trial_cg) — the path that scales past `final_ba_max_images`.
 
     Returns (params, info dict of (costs over iters, final mean px error,
     num accepted steps)).
@@ -409,7 +546,10 @@ def bundle_adjust(
         p, lam, cost, done, n_applied = state
 
         def trial(p, lam, cost, done, n_applied):
-            cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
+            if solver == "cg":
+                cand = _lm_trial_cg(p, obs, cfg, lam, cg_iters)
+            else:
+                cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
             new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)
             accept = new_cost < cost
             p2 = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)
@@ -437,7 +577,8 @@ def bundle_adjust(
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "chunk",
-                                             "axis_name"))
+                                             "axis_name", "solver",
+                                             "cg_iters"))
 def bundle_adjust_packed(
     params: BundleParams,
     obs: BundleObs,
@@ -447,6 +588,8 @@ def bundle_adjust_packed(
     initial_lambda: float = 1e-4,
     function_tolerance: float = 1e-6,
     axis_name: str | None = None,
+    solver: str = "dense",
+    cg_iters: int = 64,
 ):
     """`bundle_adjust` with results packed into 3 arrays — (cam (M, 9),
     xyz (P, 3), stats (6,)) — so host engines on high-latency tunneled
@@ -459,7 +602,8 @@ def bundle_adjust_packed(
     p, info = bundle_adjust(params, obs, cfg, max_iterations=max_iterations,
                             chunk=chunk, initial_lambda=initial_lambda,
                             function_tolerance=function_tolerance,
-                            axis_name=axis_name)
+                            axis_name=axis_name, solver=solver,
+                            cg_iters=cg_iters)
     dt = p.xyz.dtype
     cam = jnp.concatenate([p.qvec.astype(dt), p.tvec.astype(dt),
                            p.log_f.astype(dt)[:, None],
@@ -479,10 +623,12 @@ NUM_CAM_IN = 22  # qvec4 t3 logf k1 cc2 cam_valid pose_free6 plogf pk1 pwf pwk
 NUM_CAM_IN_TIED = 23
 
 
-@persistent_jit(static_argnames=("max_iterations", "chunk"))
+@persistent_jit(static_argnames=("max_iterations", "chunk", "solver",
+                                 "cg_iters"))
 def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
                        max_iterations: int = 25, chunk: int = 1024,
-                       function_tolerance: float = 1e-6):
+                       function_tolerance: float = 1e-6,
+                       solver: str = "dense", cg_iters: int = 64):
     """Fully packed LM solve for host engines on high-latency tunneled
     backends: ONE upload block + ONE download.
 
@@ -533,7 +679,8 @@ def bundle_adjust_flat(cam_in, pt_in, obs_in, scal_in,
                    if cam_in.shape[1] >= NUM_CAM_IN_TIED else None))
     cam, xyz, stats = bundle_adjust_packed(
         params, obs, cfg, max_iterations=max_iterations, chunk=chunk,
-        initial_lambda=lam0, function_tolerance=function_tolerance)
+        initial_lambda=lam0, function_tolerance=function_tolerance,
+        solver=solver, cg_iters=cg_iters)
     return jnp.concatenate([cam.reshape(M * 9), xyz.reshape(P * 3), stats])
 
 
@@ -541,7 +688,8 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
                                  max_iterations: int = 25, chunk: int = 1024,
                                  segment: int = 0,
                                  function_tolerance: float = 1e-6,
-                                 segment_improvement_tol: float = 1e-3):
+                                 segment_improvement_tol: float = 1e-3,
+                                 solver: str = "dense", cg_iters: int = 64):
     """Host driver over fixed-size `bundle_adjust_flat` segments.
 
     The in-graph LM loop has a STATIC trip count (a data-dependent while
@@ -582,7 +730,8 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
     while remaining > 0:
         out = np.asarray(bundle_adjust_flat(
             cam_in, pt_in, obs_in, scal, max_iterations=seg,
-            chunk=chunk, function_tolerance=function_tolerance))
+            chunk=chunk, function_tolerance=function_tolerance,
+            solver=solver, cg_iters=cg_iters))
         stats = out[M * 9 + P * 3:]
         used = int(stats[2])
         if initial_cost is None:

@@ -338,40 +338,31 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
     t0 = time.time()
     keypoints, descriptors, cam_rows, num_feats = [], [], [], []
-    # PIPELINED: dispatch every batch first (jax dispatch is async), convert
-    # afterwards — host JPEG decode of batch k+1 and the device->host
-    # download of batch k overlap device compute
-    pending = []  # (items, counts_dev, meta_dev, desc_dev)
-    for start in range(0, len(paths), batch_size):
-        chunk_paths = paths[start:start + batch_size]
-        items = [image_ops.load_for_extraction(p, s.max_image_size, canvas)
-                 for p in chunk_paths]
-        n = len(items)
-        imgs = np.stack([it["image"] for it in items])
-        vhws = np.stack([it["valid_hw"] for it in items])
-        if n < batch_size:  # pad the batch for a stable jit signature
-            imgs = np.concatenate([imgs, np.zeros(
-                (batch_size - n,) + imgs.shape[1:], imgs.dtype)])
-            vhws = np.concatenate([vhws, np.ones(
-                (batch_size - n, 2), vhws.dtype)])
-        cnt_dev, meta_dev, desc_dev = extract_batch(
-            jnp.asarray(imgs), jnp.asarray(vhws))
-        _copy_to_host_async(cnt_dev)
-        pending.append((items, cnt_dev, meta_dev, desc_dev))
-    # truncate + start async downloads in dispatch order; batch k's transfer
-    # overlaps batch k+1's compute
-    sliced = []
+    # PIPELINED with a BOUNDED in-flight window (parallel.inflight_batches):
+    # host JPEG decode of batch k+W, device compute of batches k..k+W-1, and
+    # the download of batch k overlap. Unbounded dispatch-ahead (the old
+    # "dispatch everything, then drain" shape) queued hundreds of executions
+    # into the high-latency device transport at 1k-image scale and wedged;
+    # the window keeps the same overlap with O(W) queued work and O(W)
+    # device-resident result buffers.
     K = s.max_num_features
-    for items, cnt_dev, meta_dev, desc_dev in pending:
+    window = max(2, int(cfg.parallel.inflight_batches))
+    pending = []  # dispatched, counts download in flight
+    ready = []    # counts known, truncated meta/desc downloads in flight
+
+    def slice_oldest():
+        items, cnt_dev, meta_dev, desc_dev = pending.pop(0)
         counts = np.asarray(cnt_dev)
         kmax = min(K, _round_up(max(int(counts.max()), 1), 128))
-        if kmax < K:
+        if kmax < K:  # valid-first slots: only [:kmax] rows come down
             meta_dev = meta_dev[:, :kmax]
             desc_dev = desc_dev[:, :kmax]
         _copy_to_host_async(meta_dev)
         _copy_to_host_async(desc_dev)
-        sliced.append((items, counts, meta_dev, desc_dev))
-    for items, counts, meta_dev, desc_dev in sliced:
+        ready.append((items, counts, meta_dev, desc_dev))
+
+    def convert_oldest():
+        items, counts, meta_dev, desc_dev = ready.pop(0)
         f_meta = np.asarray(meta_dev)   # (B, kmax, 5): x, y, scale, ori, valid
         f_desc = np.asarray(desc_dev)
         for b, item in enumerate(items):
@@ -389,6 +380,31 @@ def run_extraction(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             cam_rows.append(np.concatenate([
                 [model_id, w, h, 1.0 if prior else 0.0, item["scale"]], params]))
             num_feats.append(len(kp))
+
+    for start in range(0, len(paths), batch_size):
+        chunk_paths = paths[start:start + batch_size]
+        items = [image_ops.load_for_extraction(p, s.max_image_size, canvas)
+                 for p in chunk_paths]
+        n = len(items)
+        imgs = np.stack([it["image"] for it in items])
+        vhws = np.stack([it["valid_hw"] for it in items])
+        if n < batch_size:  # pad the batch for a stable jit signature
+            imgs = np.concatenate([imgs, np.zeros(
+                (batch_size - n,) + imgs.shape[1:], imgs.dtype)])
+            vhws = np.concatenate([vhws, np.ones(
+                (batch_size - n, 2), vhws.dtype)])
+        cnt_dev, meta_dev, desc_dev = extract_batch(
+            jnp.asarray(imgs), jnp.asarray(vhws))
+        _copy_to_host_async(cnt_dev)
+        pending.append((items, cnt_dev, meta_dev, desc_dev))
+        if len(pending) >= window:
+            slice_oldest()
+        if len(ready) >= window:
+            convert_oldest()
+    while pending:
+        slice_oldest()
+    while ready:
+        convert_oldest()
     store.write_table(out_table, {
         "image_id": frame_ids,
         "keypoints": keypoints,
@@ -766,12 +782,10 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     submodels = [colmap_io.model_from_bytes(c, i, p)
                  for c, i, p in zip(tab["cameras"], tab["images"], tab["points3d"])]
     model = merge_all(submodels, cfg.merge)
-    if (cfg.merge.final_ba and len(submodels) > 1
-            and model.num_registered > cfg.merge.final_ba_max_images):
-        log.warning("merge: skipping final BA at %d images (> "
-                    "final_ba_max_images=%d; dense Schur solve bound)",
-                    model.num_registered, cfg.merge.final_ba_max_images)
-    elif cfg.merge.final_ba and len(submodels) > 1:
+    if cfg.merge.final_ba and len(submodels) > 1:
+        # beyond merge.final_ba_max_images the solves inside switch from
+        # the dense Schur factorization to matrix-free CG (ops/ba) — large
+        # merged models are refined, not skipped
         if cfg.merge.iterative_refine and store.has_table("matching"):
             # full-graph iterative refinement: retriangulation builds
             # cross-cluster tracks before the global solve
@@ -791,7 +805,8 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 model, max_iterations=cfg.merge.final_ba_iterations,
                 filter_max_reproj_error=cfg.mapper.filter_max_reproj_error,
                 intr_prior_weight_f=cfg.mapper.intr_prior_weight_f,
-                intr_prior_weight_k=cfg.mapper.intr_prior_weight_k)
+                intr_prior_weight_k=cfg.mapper.intr_prior_weight_k,
+                dense_max_images=cfg.merge.final_ba_max_images)
             if info:
                 log.info("merge: final BA cost %.1f -> %.1f",
                          info["initial_cost"], info["final_cost"])

@@ -113,6 +113,10 @@ class MapperConfig:
     ba_local_max_refinements: int = 2
     ba_local_max_refinement_change: float = 0.001
     ba_global_max_num_iterations: int = 50
+    # dense-Schur camera-count bound: global solves over more images than
+    # this run the matrix-free CG path (ops/ba._lm_trial_cg) instead of
+    # factorizing the (M*8)^2 reduced system
+    ba_dense_max_images: int = 256
     ba_global_max_refinements: int = 5
     ba_global_max_refinement_change: float = 0.0005
     ba_global_images_ratio: float = 1.1
@@ -172,11 +176,11 @@ class MergeConfig:
     # BA + complete/merge tracks + filter iterate. Falls back to the single
     # global BA when the matching table is unavailable.
     iterative_refine: bool = True
-    # cap for the dense Schur solve on the merged model: beyond this many
+    # dense-Schur bound for the merged-model solve: beyond this many
     # registered images the reduced camera system (O(M^2) memory, O(P*M^2)
-    # accumulation FLOPs) outgrows a single dense solve — the final BA is
-    # skipped with a log (cluster-level refinement already ran; a sparse/
-    # pose-graph final solve is the planned lift for 1k+ collections)
+    # accumulation FLOPs) outgrows a dense factorization, and the final BA
+    # switches to the matrix-free preconditioned-CG Schur path
+    # (ops/ba._lm_trial_cg) — large merged models are refined, not skipped
     final_ba_max_images: int = 256
 
 
@@ -240,6 +244,11 @@ class ParallelConfig:
     batch_size: int = 8                 # images per device step (≈ work_packet_size)
     mesh_axes: tuple = ("data",)
     num_devices: int = 0                # 0 = all available
+    # bounded dispatch-ahead window for pipelined stages (extraction,
+    # PatchMatch): enough to overlap host prep / device compute / downloads,
+    # without queueing hundreds of in-flight executions into a high-latency
+    # device transport (unbounded dispatch wedged 250-batch runs)
+    inflight_batches: int = 8
 
 
 @dataclasses.dataclass

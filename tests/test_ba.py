@@ -266,3 +266,90 @@ def test_flat_quantized_obs_matches_f32(rng):
     xa = out_a[M * 9: M * 9 + P * 3]
     xb = out_b[M * 9: M * 9 + P * 3]
     assert np.percentile(np.abs(xa - xb), 95) < 0.01
+
+
+def test_ba_cg_matches_dense(rng):
+    """Matrix-free CG-Schur LM (solver="cg") reproduces the dense
+    factorization's solution — same trials, same damping, solve by
+    preconditioned CG instead of Cholesky (the path that scales global BA
+    past merge.final_ba_max_images)."""
+    params, obs, cfg, _ = make_bundle_problem(rng, noise_px=0.5)
+    p_d, info_d = ba.bundle_adjust(params, obs, cfg, max_iterations=30,
+                                   chunk=32)
+    p_c, info_c = ba.bundle_adjust(params, obs, cfg, max_iterations=30,
+                                   chunk=32, solver="cg")
+    assert float(info_c["final_cost"]) <= float(info_d["final_cost"]) * 1.01
+    np.testing.assert_allclose(np.asarray(p_c.tvec), np.asarray(p_d.tvec),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_c.qvec), np.asarray(p_d.qvec),
+                               atol=1e-5)
+
+
+def test_ba_cg_shared_camera_exact_tie(rng):
+    """CG path applies the shared-camera equality constraint functionally
+    (broadcast-from-leader / sum-to-leader): tied slots end bitwise equal
+    and match the dense tie-matrix solution."""
+    params, obs, cfg, _ = make_bundle_problem(rng, noise_px=0.5,
+                                              focal_err=0.03)
+    M = params.qvec.shape[0]
+    cfg = cfg._replace(cam_group=jnp.zeros(M, jnp.int32),
+                       refine_focal=jnp.asarray(True))
+    p_c, info_c = ba.bundle_adjust(params, obs, cfg, max_iterations=30,
+                                   chunk=32, solver="cg")
+    f = np.asarray(p_c.log_f)
+    assert f.max() - f.min() == 0.0
+    p_d, info_d = ba.bundle_adjust(params, obs, cfg, max_iterations=30,
+                                   chunk=32)
+    assert abs(float(np.asarray(p_d.log_f)[0]) - float(f[0])) < 1e-4
+    assert float(info_c["final_cost"]) <= float(info_d["final_cost"]) * 1.01
+
+
+def test_ba_cg_scales_past_dense_bound(rng):
+    """A 3x-over-the-dense-bound camera count (M=96 with a tiny bound in
+    spirit; full-scale M=800 smoke ran in PERFORMANCE.md) converges on the
+    CG path: long-trajectory window-visibility problem, cost drops >100x
+    and poses land near ground truth."""
+    M, P, T, focal = 96, 2048, 6, 600.0
+    span = M * 0.6
+    q_gt = np.stack([np.asarray(geom.angle_axis_to_quat(
+        rng.normal(size=3) * 0.01)) for _ in range(M)])
+    C = np.stack([np.array([i * 0.6 - span / 2, 0, 0]) for i in range(M)])
+    R = np.asarray(geom.quat_to_rotmat(q_gt))
+    tvec = -np.einsum("mij,mj->mi", R, C)
+    pts_gt = np.stack([rng.uniform(-span * 0.55, span * 0.55, P),
+                       rng.uniform(-2, 2, P), rng.uniform(6, 9, P)], 1)
+    nearest = np.clip(((pts_gt[:, 0] + span / 2) / 0.6).astype(int),
+                      0, M - 1)
+    cam_idx = np.clip(nearest[:, None] + np.arange(T)[None, :] - T // 2,
+                      0, M - 1)
+    x_cam = np.einsum("ptij,pj->pti", R[cam_idx], pts_gt) + tvec[cam_idx]
+    uv = focal * x_cam[..., :2] / x_cam[..., 2:3] + np.array([320.0, 240.0])
+    uv += rng.normal(size=uv.shape) * 0.5
+    valid = x_cam[..., 2] > 0.1
+    q0 = np.stack([np.asarray(geom.quat_mul(
+        geom.angle_axis_to_quat(rng.normal(size=3) * 0.005), q))
+        for q in q_gt])
+    t0 = tvec + rng.normal(size=tvec.shape) * 0.02
+    q0[:2], t0[:2] = q_gt[:2], tvec[:2]
+    params = ba.BundleParams(
+        qvec=jnp.asarray(q0), tvec=jnp.asarray(t0),
+        log_f=jnp.full(M, np.log(focal)), k1=jnp.zeros(M),
+        xyz=jnp.asarray(pts_gt + rng.normal(size=pts_gt.shape) * 0.05))
+    obs = ba.BundleObs(cam_idx=jnp.asarray(cam_idx, jnp.int32),
+                       uv=jnp.asarray(uv), valid=jnp.asarray(valid))
+    cfg = ba.BundleConfig(
+        cc=jnp.broadcast_to(jnp.asarray([320.0, 240.0]), (M, 2)),
+        cam_valid=jnp.ones(M, bool),
+        pose_free=ba.make_pose_free(M, fixed_full=[0, 1]),
+        pt_valid=jnp.ones(P, bool),
+        refine_focal=jnp.asarray(False),
+        refine_distortion=jnp.asarray(False),
+        loss_scale=jnp.asarray(4.0),
+        prior_log_f=jnp.full(M, np.log(focal)), prior_k1=jnp.zeros(M),
+        prior_weight_f=jnp.zeros(M), prior_weight_k=jnp.zeros(M))
+    p_c, info = ba.bundle_adjust(params, obs, cfg, max_iterations=20,
+                                 chunk=1024, solver="cg", cg_iters=100)
+    assert float(info["final_cost"]) < float(info["initial_cost"]) * 0.02
+    assert float(info["mean_reproj_px"]) < 1.0
+    err = np.linalg.norm(np.asarray(p_c.tvec) - tvec, axis=1)
+    assert np.median(err) < 0.05
