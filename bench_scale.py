@@ -63,6 +63,15 @@ def main():
     model = out
     total = sum(times.values())
     ate = synth.evaluate_ate(model, gt)
+    # trajectory extent: ATE on a 600-unit track reads very differently
+    # from the same number on an 8-unit arc
+    import numpy as np
+
+    from scanner_colmap_tpu.models import geometry as geom
+    centers = np.stack([
+        np.asarray(geom.np_projection_center(gt["qvecs"][i], gt["tvecs"][i]))
+        for i in range(len(gt["tvecs"]))])
+    span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
     mm = store.read_manifest("matching")["meta"]
     result = {
         "metric": "scale_1k_images_registered_per_sec",
@@ -73,6 +82,8 @@ def main():
             "num_images": n_img,
             "registered": int(model.num_registered),
             "ate": round(float(ate), 4),
+            "ate_rel_span": round(float(ate) / max(span, 1e-9), 5),
+            "trajectory_span": round(span, 1),
             "mean_reproj_px": round(model.mean_reprojection_error(), 3),
             "stage_s": {k: round(v, 1) for k, v in times.items()},
             "matching_banks": mm["num_banks"],

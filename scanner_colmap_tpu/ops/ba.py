@@ -382,7 +382,8 @@ def _segsum_cam(vals, cam_idx, M):
     return jax.ops.segment_sum(flat, cam_idx.reshape(-1), num_segments=M)
 
 
-def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4):
+def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
+                 axis_name=None):
     """LM trial solving the Schur camera system MATRIX-FREE with
     diagonally-preconditioned CG (Ceres ITERATIVE_SCHUR + SCHUR_JACOBI).
 
@@ -413,6 +414,10 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4):
     U = _segsum_cam(jnp.einsum("ptri,ptrj->ptij", wJc, J_cam),
                     obs.cam_idx, M)
     g_c = -_segsum_cam(jnp.einsum("ptri,ptr->pti", wJc, r), obs.cam_idx, M)
+    if axis_name is not None:
+        # points sharded over the mesh axis: camera-side systems reduce
+        # over ICI; priors/damping apply to the replicated result below
+        U, g_c = jax.lax.psum((U, g_c), axis_name)
 
     wf = cfg.prior_weight_f
     wk = cfg.prior_weight_k
@@ -425,8 +430,11 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4):
 
     # rhs = g_c - B Vinv g_p
     y0 = jnp.einsum("pij,pj->pi", Vinv, g_p)
-    rhs = g_c - _segsum_cam(jnp.einsum("ptij,pj->pti", Wc, y0),
-                            obs.cam_idx, M)
+    rhs_sub = _segsum_cam(jnp.einsum("ptij,pj->pti", Wc, y0),
+                          obs.cam_idx, M)
+    if axis_name is not None:
+        rhs_sub = jax.lax.psum(rhs_sub, axis_name)
+    rhs = g_c - rhs_sub
 
     intr8 = jnp.stack([cfg.refine_focal, cfg.refine_distortion])
     free8 = jnp.concatenate([
@@ -463,13 +471,18 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4):
         yv = jnp.einsum("pij,pj->pi", Vinv, u)
         z = jnp.einsum("ptij,pj->pti", Wc, yv)
         sub = _segsum_cam(z, obs.cam_idx, M)
+        if axis_name is not None:
+            # one psum per CG iteration — the (M, 8) partial, not O(M^2)
+            sub = jax.lax.psum(sub, axis_name)
         return reduce_((ux - sub) * pm) * rm
 
     b = reduce_(rhs * pm) * rm
     # Schur-Jacobi diagonal preconditioner on the reduced system
     d_obs = jnp.einsum("ptij,pjk,ptik->pti", Wc, Vinv, Wc)   # (P,T,8)
-    diag_full = (jnp.einsum("mii->mi", Ud)
-                 - _segsum_cam(d_obs, obs.cam_idx, M)) * pm
+    d_sub = _segsum_cam(d_obs, obs.cam_idx, M)
+    if axis_name is not None:
+        d_sub = jax.lax.psum(d_sub, axis_name)
+    diag_full = (jnp.einsum("mii->mi", Ud) - d_sub) * pm
     diag_red = reduce_(diag_full) * rm
     precond = jnp.where(diag_red > 1e-8,
                         1.0 / jnp.maximum(diag_red, 1e-8), 1.0) * rm
@@ -547,7 +560,8 @@ def bundle_adjust(
 
         def trial(p, lam, cost, done, n_applied):
             if solver == "cg":
-                cand = _lm_trial_cg(p, obs, cfg, lam, cg_iters)
+                cand = _lm_trial_cg(p, obs, cfg, lam, cg_iters,
+                                    axis_name=axis_name)
             else:
                 cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
             new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)

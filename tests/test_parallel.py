@@ -67,3 +67,18 @@ def test_fused_step_runs(rng, mesh):
     # identical descriptors at the same index across images -> diagonal match
     # (each image's descriptors are random; just check mask sanity)
     assert bool(jnp.all(jnp.isfinite(p_out.xyz)))
+
+
+def test_distributed_cg_ba_matches_single_device(rng, mesh):
+    """The matrix-free CG-Schur solver under 8-way point sharding: one
+    (M, 8) psum per CG iteration replaces the dense path's O((M*8)^2)
+    psum — results match the single-device CG solve."""
+    params, obs, cfg, gt = make_bundle_problem(rng, M=6, P=64, T=4)
+    p1, info1 = ba.bundle_adjust(params, obs, cfg, max_iterations=10,
+                                 chunk=8, solver="cg")
+    p8, info8 = dist_ba.distributed_bundle_adjust(
+        mesh, params, obs, cfg, max_iterations=10, chunk=8, solver="cg")
+    assert np.isclose(float(info1["final_cost"]), float(info8["final_cost"]),
+                      rtol=1e-6), (info1, info8)
+    assert np.allclose(np.asarray(p1.qvec), np.asarray(p8.qvec), atol=1e-8)
+    assert np.allclose(np.asarray(p1.xyz), np.asarray(p8.xyz), atol=1e-6)
