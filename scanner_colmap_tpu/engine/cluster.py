@@ -135,6 +135,29 @@ def run_clustered_mapping(
             log.info("cluster %d/%d (device): %d/%d images, %d points",
                      ci + 1, len(clusters), rec.num_registered,
                      len(clusters[ci]), len(rec.points3D))
+        # failure tolerance (the per-unit tolerance the reference applies
+        # per-image in PatchMatch, patch_match.cc:108-114, applied per
+        # CLUSTER here): a cluster the single-program mapper under-registers
+        # — TPU f32 matmul numerics are bf16-pass by default and RANSAC
+        # margins occasionally land on the wrong side — retries on the host
+        # mapper's exact COLMAP schedule before the submodel is shipped
+        min_frac = getattr(cfg, "device_fallback_min_frac", 0.6)
+        for ci, rec in enumerate(recs):
+            members = clusters[ci]
+            if (len(members) >= 3
+                    and rec.num_registered < min_frac * len(members)):
+                g, tv = subgraph(graph, two_view, members)
+                host_rec = IncrementalMapper(
+                    {i: keypoints[i] for i in members},
+                    {i: cameras[i] for i in members}, g, tv, cfg,
+                    seed=ci).reconstruct()
+                if host_rec.num_registered > rec.num_registered:
+                    log.warning(
+                        "cluster %d/%d: device mapper registered %d/%d — "
+                        "host retry registered %d, using it",
+                        ci + 1, len(clusters), rec.num_registered,
+                        len(members), host_rec.num_registered)
+                    recs[ci] = host_rec
     else:
         def run_one(ci: int) -> Reconstruction:
             members = clusters[ci]

@@ -768,20 +768,31 @@ class IncrementalMapper:
         reg = self.rec.registered_image_ids
         if len(reg) < 2:
             return
+        import time as _time
         for it in range(self.cfg.ba_global_max_refinements):
+            t0 = _time.time()
             self.retriangulate()
+            t_retri = _time.time() - t0
             prev_obs = sum(p.track_length for p in self.rec.points3D.values())
             # stricter solve for tiny models, like ref :66-73
             iters = self.cfg.ba_global_max_num_iterations
             if len(reg) < 10:
                 iters *= 2
+            t0 = _time.time()
             info = self._run_ba(reg, iters, refine_intrinsics=True)
+            t_ba = _time.time() - t0
             if info is None:
                 return
+            t0 = _time.time()
             self.complete_tracks()
             self.merge_tracks()
             self.filter_points()
             self.filter_images()
+            t_tracks = _time.time() - t0
+            log.info("global refine round %d: retriangulate %.1fs, "
+                     "BA %.1fs (cost %.0f -> %.0f), track ops %.1fs",
+                     it + 1, t_retri, t_ba, float(info["initial_cost"]),
+                     float(info["final_cost"]), t_tracks)
             reg = self.rec.registered_image_ids
             num_obs = sum(p.track_length for p in self.rec.points3D.values())
             change = abs(num_obs - prev_obs) / max(prev_obs, 1)

@@ -299,11 +299,19 @@ def map_cluster(key, cam_in, order, forced, reg_init,
                 pnp_thr_n, tri_thr_n, scal,
                 pnp_trials: int = 256, ba_iters: int = 8,
                 final_iters: int = 40, chunk: int = 1024):
-    """Single-cluster entry point (see _map_cluster_impl for the contract)."""
-    return _map_cluster_impl(
-        key, cam_in, order, forced, reg_init, obs_cam, obs_uv, obs_xn,
-        obs_present, pnp_thr_n, tri_thr_n, scal, pnp_trials=pnp_trials,
-        ba_iters=ba_iters, final_iters=final_iters, chunk=chunk)
+    """Single-cluster entry point (see _map_cluster_impl for the contract).
+
+    Traced under full-f32 matmul precision: the TPU default lowers f32
+    matmuls to single-pass bf16 and the mapper's RANSAC/triangulation
+    margins occasionally flip on the reduced mantissa (observed: a cluster
+    registering 2/8 on-chip vs 8/8 on CPU). The mapper is link-latency
+    bound, so the extra MXU passes are ~free.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _map_cluster_impl(
+            key, cam_in, order, forced, reg_init, obs_cam, obs_uv, obs_xn,
+            obs_present, pnp_thr_n, tri_thr_n, scal, pnp_trials=pnp_trials,
+            ba_iters=ba_iters, final_iters=final_iters, chunk=chunk)
 
 
 @persistent_jit(static_argnames=("pnp_trials", "ba_iters", "final_iters",
@@ -336,6 +344,7 @@ def map_cluster_batch(key, cam_in, order, forced, reg_init,
     fn = functools.partial(_map_cluster_impl, pnp_trials=pnp_trials,
                            ba_iters=ba_iters, final_iters=final_iters,
                            chunk=chunk)
-    return jax.vmap(fn)(key, cam_in, order, forced, reg_init, obs_cam,
-                        obs_uv, obs_xn, obs_present, pnp_thr_n, tri_thr_n,
-                        scal)
+    with jax.default_matmul_precision("float32"):  # see map_cluster
+        return jax.vmap(fn)(key, cam_in, order, forced, reg_init, obs_cam,
+                            obs_uv, obs_xn, obs_present, pnp_thr_n,
+                            tri_thr_n, scal)

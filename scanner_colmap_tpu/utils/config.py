@@ -108,6 +108,11 @@ class MapperConfig:
     # union window cuts the mapper's dominant latency ~K-fold. 1 = exact
     # COLMAP schedule.
     register_batch_size: int = 4
+    # per-cluster failure tolerance in device mode: a cluster the
+    # single-program mapper registers below this fraction of its members
+    # retries on the host mapper's exact COLMAP schedule (TPU f32 matmuls
+    # default to bf16 passes; RANSAC margins occasionally flip)
+    device_fallback_min_frac: float = 0.6
     # BA schedule (incremental_mapping.cc:86-139, 339-350)
     ba_local_max_num_iterations: int = 25
     ba_local_max_refinements: int = 2

@@ -138,3 +138,41 @@ def test_subgraph_carries_pair_matches(rng):
         # lists agree with the sub-graph's own adjacency counts
         assert len(pairs) > 0
         assert g.num_pair_inliers(i, j) >= 0
+
+
+def test_device_mapper_host_fallback(rng, monkeypatch, caplog):
+    """A cluster the device mapper under-registers (below
+    mapper.device_fallback_min_frac of its members) retries on the host
+    mapper's exact schedule — per-cluster failure tolerance, the cluster
+    analog of the reference's per-image PatchMatch tolerance
+    (patch_match.cc:108-114)."""
+    import logging
+
+    from test_incremental import build_synthetic_scene
+
+    from scanner_colmap_tpu.engine import device_cluster
+    from scanner_colmap_tpu.utils.config import MapperConfig, MergeConfig
+
+    kp, cams, graph, tv, (qs, ts, pts) = build_synthetic_scene(
+        rng, num_images=8, num_points=250)
+    cfg = MapperConfig()
+    cfg.mode = "device"
+    cfg.device_batch_clusters = False
+    cfg.cluster_size = 6
+    cfg.cluster_overlap = 2
+    cfg.init_min_num_inliers = 20
+    cfg.abs_pose_min_num_inliers = 12
+    cfg.single_camera = True
+
+    def broken_device_mapper(*args, **kwargs):
+        rec = Reconstruction()  # registers nothing
+        return (lambda: rec) if not kwargs.get("block", True) else rec
+
+    monkeypatch.setattr(device_cluster, "map_cluster_device",
+                        broken_device_mapper)
+    with caplog.at_level(logging.WARNING):
+        merged, subs = cluster_mod.run_clustered_mapping(
+            kp, cams, graph, tv, cfg, MergeConfig(final_ba=False))
+    assert any("host retry registered" in r.message for r in caplog.records)
+    assert merged.num_registered >= 7
+    assert all(s.num_registered >= 4 for s in subs)
