@@ -8,10 +8,13 @@ run manually: `python bench_scale.py` (env: SCALE_IMAGES to change N).
 """
 
 import json
+import logging
 import os
 import sys
 import tempfile
 import time
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 
 def log(msg):

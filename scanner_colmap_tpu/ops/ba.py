@@ -317,10 +317,13 @@ def _apply_delta(params: BundleParams, dc: jax.Array, dp: jax.Array,
     valid = cfg.cam_valid.astype(dc.dtype)[:, None]
     if cfg.cam_group is not None:
         # tied slots apply the group's intrinsic delta even while invalid
-        # (not yet registered), so group intrinsics stay exactly equal
+        # (not yet registered), so group intrinsics stay exactly equal.
+        # O(M) segment reduction — the (M, M) same-group matrix this
+        # replaces was quadratic per LM trial at 1k-10k tied cameras
         grp = cfg.cam_group.astype(jnp.int32)
-        same = grp[None, :] == grp[:, None]
-        grp_alive = jnp.any(same & cfg.cam_valid[None, :], axis=1)
+        grp_alive = jax.ops.segment_max(
+            cfg.cam_valid.astype(jnp.int32), grp,
+            num_segments=M)[grp] > 0
         intr_mask = grp_alive.astype(dc.dtype)[:, None]
     else:
         intr_mask = valid

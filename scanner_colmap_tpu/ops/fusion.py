@@ -86,6 +86,13 @@ def fuse_depth_maps(
     Host code compacts emit=True pixels into the point list.
     """
     N, H, W = inp.depths.shape
+    if window is not None and window < 1:
+        # the FusionConfig sentinels (0 = auto, -1 = all-pairs) are
+        # translated by run_fusion; silently clamping them here to a
+        # 1-view window collapsed num_consistent for direct callers
+        raise ValueError(
+            f"window must be >= 1 or None (all-pairs); got {window}. "
+            "FusionConfig sentinel values are resolved in stages.run_fusion.")
     Wd = N - 1 if window is None else max(min(window, N - 1), 1)
     dtype = inp.depths.dtype
     # uniform dtype: pose/K inputs may arrive f64 from the host model while

@@ -328,8 +328,8 @@ def write_ply_mesh(path: str, verts: np.ndarray, faces: np.ndarray,
             vt["xyz"] = verts
             c = np.asarray(rgb)
             if c.dtype != np.uint8:
-                c = np.clip(c * (255.0 if c.max() <= 1.5 else 1.0),
-                            0, 255).astype(np.uint8)
+                scale = 255.0 if (c.size == 0 or c.max() <= 1.5) else 1.0
+                c = np.clip(c * scale, 0, 255).astype(np.uint8)
             vt["rgb"] = c
         else:
             vt = np.empty(n, dtype=[("xyz", np.float32, 3)])

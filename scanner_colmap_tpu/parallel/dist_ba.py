@@ -57,7 +57,10 @@ def distributed_bundle_adjust(
     cfg_spec = ba.BundleConfig(
         cc=P(), cam_valid=P(), pose_free=P(), pt_valid=P(axis_name),
         refine_focal=P(), refine_distortion=P(), loss_scale=P(),
-        prior_log_f=P(), prior_k1=P(), prior_weight_f=P(), prior_weight_k=P())
+        prior_log_f=P(), prior_k1=P(), prior_weight_f=P(), prior_weight_k=P(),
+        # replicated shared-camera tie vector; None must stay None so the
+        # spec pytree matches an untied config's structure
+        cam_group=(P() if cfg.cam_group is not None else None))
     info_spec = {"initial_cost": P(), "final_cost": P(), "iterations": P(),
                  "mean_reproj_px": P(), "num_obs": P(), "final_lambda": P()}
 

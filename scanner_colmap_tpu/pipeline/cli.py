@@ -197,7 +197,21 @@ def main(argv=None):
         import jax
 
         jax.profiler.start_trace(args.profile_dir)
+    try:
+        _dispatch_stage(args, cfg, stages, store)
+    finally:
+        # flush the trace even when a stage raises — failed/stalled runs
+        # are exactly the ones a trace is wanted for
+        if args.profile_dir:
+            import jax
 
+            jax.profiler.stop_trace()
+            logging.getLogger(__name__).info("profile trace written to %s",
+                                             args.profile_dir)
+    return 0
+
+
+def _dispatch_stage(args, cfg, stages, store):
     if args.stage == "prepare_images":
         stages.prepare_images(cfg, store, stride=getattr(args, "stride", 1),
                               frame_range=tuple(args.range) if getattr(
@@ -225,13 +239,6 @@ def main(argv=None):
                        ply_path=args.ply_path, dense=not args.sparse_only,
                        resume=args.resume, mesh_path=args.mesh_path,
                        mesh=not args.no_mesh)
-    if args.profile_dir:
-        import jax
-
-        jax.profiler.stop_trace()
-        logging.getLogger(__name__).info("profile trace written to %s",
-                                         args.profile_dir)
-    return 0
 
 
 if __name__ == "__main__":

@@ -80,8 +80,14 @@ def _dep_graph() -> dict:
             try:
                 tree = ast.parse(open(path, "rb").read())
             except SyntaxError:
-                _DEP_GRAPH = None
-                return {m: {"*"} for m in graph}  # degrade: invalidate all
+                # unparsable file: ITS edges are unknown — degrade any
+                # closure that reaches it to the whole-package hash (the
+                # "*" marker), but keep the rest of the graph usable and
+                # cached (returning a partial graph here made modules
+                # missing from it hash only their own file — a stale-
+                # executable hazard)
+                graph[mod] = {"*"}
+                continue
             for node in ast.walk(tree):
                 if isinstance(node, ast.Import):
                     for a in node.names:
@@ -120,10 +126,11 @@ def _module_fingerprint(mod: str) -> str:
         if not m or m in seen or _module_path(m) is None:
             continue
         seen.add(m)
-        stack.extend(graph.get(m, {"*"}))
-        if "*" in graph.get(m, set()):
-            seen = None  # degraded graph: hash everything
+        deps = graph.get(m, {"*"})  # missing from the graph = unknown edges
+        if "*" in deps:
+            seen = None  # degraded closure: hash the whole package
             break
+        stack.extend(deps)
     h = hashlib.sha256()
     if seen is None:
         seen = set(graph)

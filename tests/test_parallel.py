@@ -82,3 +82,20 @@ def test_distributed_cg_ba_matches_single_device(rng, mesh):
                       rtol=1e-6), (info1, info8)
     assert np.allclose(np.asarray(p1.qvec), np.asarray(p8.qvec), atol=1e-8)
     assert np.allclose(np.asarray(p1.xyz), np.asarray(p8.xyz), atol=1e-6)
+
+
+def test_distributed_ba_shared_camera_tie(rng, mesh):
+    """Tied (shared-camera) configs run under shard_map: the cfg spec must
+    carry cam_group (it crashed with a pytree/spec mismatch when omitted).
+    Tied slots end exactly equal and match the single-device solve."""
+    params, obs, cfg, gt = make_bundle_problem(rng, M=6, P=64, T=4)
+    cfg = cfg._replace(cam_group=jnp.zeros(6, jnp.int32),
+                       refine_focal=jnp.asarray(True))
+    p1, info1 = ba.bundle_adjust(params, obs, cfg, max_iterations=10,
+                                 chunk=8, solver="cg")
+    p8, info8 = dist_ba.distributed_bundle_adjust(
+        mesh, params, obs, cfg, max_iterations=10, chunk=8, solver="cg")
+    f = np.asarray(p8.log_f)
+    assert f.max() - f.min() == 0.0
+    assert np.isclose(float(info1["final_cost"]), float(info8["final_cost"]),
+                      rtol=1e-6)
