@@ -37,6 +37,7 @@ def main():
     from scanner_colmap_tpu.utils.store import ArtifactStore
 
     num_images = int(os.environ.get("BENCH_NUM_IMAGES", "16"))
+    t_bench0 = time.time()
     workdir = tempfile.mkdtemp(prefix="sct_bench_")
     image_dir = os.path.join(workdir, "images")
     log(f"devices: {jax.devices()}")
@@ -181,150 +182,167 @@ def main():
     util["ba_frac_of_peak"] = (round(ba_tflops / peak_tflops, 4)
                                if peak_tflops else None)
 
-    # dense phase (north star: fused points/sec per chip). Timed on the
-    # steady-state second pass like the sparse stages.
-    dense = {}
-    if os.environ.get("BENCH_DENSE", "1") != "0":
-        cfg.patch_match.max_image_size = 192
-        cfg.patch_match.overlap = 4
-        cfg.patch_match.num_iterations = 7
-        log("dense (warmup)")
-        stages.run_prepare_patch_match(cfg, store)
-        stages.run_patch_match(cfg, store)
-        n_fused = stages.run_fusion(cfg, store)
-        log("dense (timed)")
-        t0 = time.time()
-        n_maps = stages.run_patch_match(cfg, store)
-        t_pm = time.time() - t0
-        t0 = time.time()
-        n_fused = stages.run_fusion(cfg, store)
-        t_fuse = time.time() - t0
-        # gather-tap rate (the stage's budget on TPU; see utils/flops.py)
-        pm_h = cfg.patch_match.max_image_size * 3 // 4  # 4:3 bench frames
-        taps = flops_acct.patch_match_taps(
-            pm_h, cfg.patch_match.max_image_size, cfg.patch_match.overlap,
-            cfg.patch_match.window_radius, cfg.patch_match.num_iterations)
-        util["patch_match_gtaps_per_s"] = round(
-            taps * n_maps / max(t_pm, 1e-9) / 1e9, 2)
-        fused_xyz = store.read_table("fused", columns=["xyz"])["xyz"]
-        acc = synth.evaluate_dense(model, gt, np.asarray(fused_xyz))
-        dense = {
-            "depth_maps_per_s": round(n_maps / max(t_pm, 1e-9), 2),
-            "fused_points_per_s": round(n_fused / max(t_fuse, 1e-9), 1),
-            "fused_points": int(n_fused),
-            "patch_match_s": round(t_pm, 2),
-            "fusion_s": round(t_fuse, 2),
-            "surface_err_median_rel": round(acc["median_rel"], 5),
-            "surface_err_p90_rel": round(acc["p90_rel"], 5),
-        }
-        # stage 9: TSDF + marching-tetrahedra mesh (the reference's
-        # never-shipped step); accuracy = mesh-vertex distance to the
-        # analytic surface, same metric as the fused cloud. Warm pass
-        # first (TSDF compile), steady state timed like the other stages
-        stages.run_meshing(cfg, store)
-        t0 = time.time()
-        n_faces = stages.run_meshing(cfg, store)
-        t_mesh = time.time() - t0
-        mesh_verts = np.asarray(store.read_table("mesh")["verts"][0])
-        if len(mesh_verts):
-            macc = synth.evaluate_dense(model, gt, mesh_verts)
-            dense.update({
-                "mesh_faces": int(n_faces),
-                "meshing_s": round(t_mesh, 2),
-                "mesh_err_median_rel": round(macc["median_rel"], 5),
-            })
-        log(f"dense: {dense}")
+    # Optional sections (dense / real-texture / scale): protected so a
+    # failure or overrun in any of them cannot cost the headline JSON
+    # line the driver records. BENCH_BUDGET_S (default 2400) soft-caps
+    # total bench wall clock; sections are skipped once it is spent.
+    dense, real, scale = {}, {}, {}
+    _budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
-    # ---- REAL-PHOTOGRAPH texture eval (VERDICT missing #1): the pipeline
-    # on JPEG-compressed views of a real photo mapped onto a known 3D
-    # surface — natural-image SIFT/matching statistics + EXIF priors, ATE
-    # against exact ground truth -----------------------------------------
-    real = {}
-    if os.environ.get("BENCH_REAL", "1") != "0":
-        log("real-texture eval")
-        real_dir = os.path.join(workdir, "real_images")
-        gt_r = synth.generate_real_texture_dataset(real_dir, num_images=10,
-                                                   width=480, height=400,
-                                                   seed=1)
-        cfg_r = PipelineConfig()
-        cfg_r.image_path = real_dir
-        cfg_r.store_path = os.path.join(workdir, "real_store")
-        cfg_r.sift.max_image_size = 480
-        cfg_r.sift.max_num_features = 1024
-        cfg_r.sift.num_octaves = 3
-        cfg_r.matching.overlap = 5
-        cfg_r.mapper.single_camera = True
-        cfg_r.mapper.mode = cfg.mapper.mode
-        store_r = ArtifactStore(cfg_r.store_path)
-        stages.prepare_images(cfg_r, store_r)
+    def _have_budget(name):
+        if time.time() - t_bench0 > _budget_s - 120:
+            log(f"skipping {name} section (bench time budget spent)")
+            return False
+        return True
 
-        def real_sparse():
+    try:
+        # dense phase (north star: fused points/sec per chip). Timed on the
+        # steady-state second pass like the sparse stages.
+        dense = {}
+        if os.environ.get("BENCH_DENSE", "1") != "0" and _have_budget("dense"):
+            cfg.patch_match.max_image_size = 192
+            cfg.patch_match.overlap = 4
+            cfg.patch_match.num_iterations = 7
+            log("dense (warmup)")
+            stages.run_prepare_patch_match(cfg, store)
+            stages.run_patch_match(cfg, store)
+            n_fused = stages.run_fusion(cfg, store)
+            log("dense (timed)")
             t0 = time.time()
-            stages.run_extraction(cfg_r, store_r)
-            stages.run_matching(cfg_r, store_r)
-            stages.run_mapping(cfg_r, store_r)
-            m = stages.run_merge(cfg_r, store_r)
-            return m, time.time() - t0
-
-        real_sparse()                    # warmup (pays any residual compiles)
-        model_r, t_real = real_sparse()  # steady state
-        cam_r = model_r.cameras[model_r.images[0].camera_id]
-        scale_r = stages.cam_scales(store_r)[0]
-        focal_err = abs(cam_r.params[0] / scale_r - gt_r["focal"]) / gt_r["focal"]
-        real = {
-            "registered": int(model_r.num_registered),
-            "num_images": 10,
-            "ate": round(float(synth.evaluate_ate(model_r, gt_r)), 4),
-            "mean_reproj_px": round(model_r.mean_reprojection_error(), 3),
-            "focal_rel_err": round(float(focal_err), 4),
-            "images_per_s": round(model_r.num_registered / max(t_real, 1e-9), 3),
-        }
-        log(f"real-texture: {real}")
-
-    # ---- SCALE section: a 200-image sparse run (BASELINE.md names 1k/10k
-    # configs; bench_scale.py runs the full 1k — this keeps a scale proof
-    # in the driver-recorded JSON at bounded wall clock). Executables are
-    # already warm from the headline section (same sift/matching configs).
-    scale = {}
-    n_scale = int(os.environ.get("BENCH_SCALE", "200"))
-    if n_scale > 0:
-        log(f"scale section ({n_scale} images)")
-        scale_dir = os.path.join(workdir, "scale_images")
-        gt_s = synth.generate_dataset(scale_dir, num_images=n_scale,
-                                      width=480, height=360, num_blobs=500,
-                                      seed=7)
-        cfg_s = PipelineConfig()
-        cfg_s.image_path = scale_dir
-        cfg_s.store_path = os.path.join(workdir, "scale_store")
-        for attr in ("sift", "matching", "mapper"):
-            setattr(cfg_s, attr, getattr(cfg, attr))
-        times_s = {}
-        store_s = ArtifactStore(cfg_s.store_path)
-        stages.prepare_images(cfg_s, store_s)
-        for name, fn in [("extraction", stages.run_extraction),
-                         ("matching", stages.run_matching),
-                         ("mapping", stages.run_mapping),
-                         ("merge", stages.run_merge)]:
+            n_maps = stages.run_patch_match(cfg, store)
+            t_pm = time.time() - t0
             t0 = time.time()
-            out_s = fn(cfg_s, store_s)
-            times_s[name] = round(time.time() - t0, 1)
-        from scanner_colmap_tpu.models import geometry as geom_b
-        centers = np.stack([np.asarray(geom_b.np_projection_center(
-            gt_s["qvecs"][i], gt_s["tvecs"][i]))
-            for i in range(len(gt_s["tvecs"]))])
-        span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
-        ate_s = float(synth.evaluate_ate(out_s, gt_s))
-        total_s = sum(times_s.values())
-        scale = {
-            "num_images": n_scale,
-            "registered": int(out_s.num_registered),
-            "images_per_s": round(out_s.num_registered / max(total_s, 1e-9), 3),
-            "ate": round(ate_s, 4),
-            "ate_rel_span": round(ate_s / max(span, 1e-9), 5),
-            "mean_reproj_px": round(out_s.mean_reprojection_error(), 3),
-            "stage_s": times_s,
-        }
-        log(f"scale: {scale}")
+            n_fused = stages.run_fusion(cfg, store)
+            t_fuse = time.time() - t0
+            # gather-tap rate (the stage's budget on TPU; see utils/flops.py)
+            pm_h = cfg.patch_match.max_image_size * 3 // 4  # 4:3 bench frames
+            taps = flops_acct.patch_match_taps(
+                pm_h, cfg.patch_match.max_image_size, cfg.patch_match.overlap,
+                cfg.patch_match.window_radius, cfg.patch_match.num_iterations)
+            util["patch_match_gtaps_per_s"] = round(
+                taps * n_maps / max(t_pm, 1e-9) / 1e9, 2)
+            fused_xyz = store.read_table("fused", columns=["xyz"])["xyz"]
+            acc = synth.evaluate_dense(model, gt, np.asarray(fused_xyz))
+            dense = {
+                "depth_maps_per_s": round(n_maps / max(t_pm, 1e-9), 2),
+                "fused_points_per_s": round(n_fused / max(t_fuse, 1e-9), 1),
+                "fused_points": int(n_fused),
+                "patch_match_s": round(t_pm, 2),
+                "fusion_s": round(t_fuse, 2),
+                "surface_err_median_rel": round(acc["median_rel"], 5),
+                "surface_err_p90_rel": round(acc["p90_rel"], 5),
+            }
+            # stage 9: TSDF + marching-tetrahedra mesh (the reference's
+            # never-shipped step); accuracy = mesh-vertex distance to the
+            # analytic surface, same metric as the fused cloud. Warm pass
+            # first (TSDF compile), steady state timed like the other stages
+            stages.run_meshing(cfg, store)
+            t0 = time.time()
+            n_faces = stages.run_meshing(cfg, store)
+            t_mesh = time.time() - t0
+            mesh_verts = np.asarray(store.read_table("mesh")["verts"][0])
+            if len(mesh_verts):
+                macc = synth.evaluate_dense(model, gt, mesh_verts)
+                dense.update({
+                    "mesh_faces": int(n_faces),
+                    "meshing_s": round(t_mesh, 2),
+                    "mesh_err_median_rel": round(macc["median_rel"], 5),
+                })
+            log(f"dense: {dense}")
+
+        # ---- REAL-PHOTOGRAPH texture eval (VERDICT missing #1): the pipeline
+        # on JPEG-compressed views of a real photo mapped onto a known 3D
+        # surface — natural-image SIFT/matching statistics + EXIF priors, ATE
+        # against exact ground truth -----------------------------------------
+        real = {}
+        if os.environ.get("BENCH_REAL", "1") != "0" and _have_budget("real"):
+            log("real-texture eval")
+            real_dir = os.path.join(workdir, "real_images")
+            gt_r = synth.generate_real_texture_dataset(real_dir, num_images=10,
+                                                       width=480, height=400,
+                                                       seed=1)
+            cfg_r = PipelineConfig()
+            cfg_r.image_path = real_dir
+            cfg_r.store_path = os.path.join(workdir, "real_store")
+            cfg_r.sift.max_image_size = 480
+            cfg_r.sift.max_num_features = 1024
+            cfg_r.sift.num_octaves = 3
+            cfg_r.matching.overlap = 5
+            cfg_r.mapper.single_camera = True
+            cfg_r.mapper.mode = cfg.mapper.mode
+            store_r = ArtifactStore(cfg_r.store_path)
+            stages.prepare_images(cfg_r, store_r)
+
+            def real_sparse():
+                t0 = time.time()
+                stages.run_extraction(cfg_r, store_r)
+                stages.run_matching(cfg_r, store_r)
+                stages.run_mapping(cfg_r, store_r)
+                m = stages.run_merge(cfg_r, store_r)
+                return m, time.time() - t0
+
+            real_sparse()                    # warmup (pays any residual compiles)
+            model_r, t_real = real_sparse()  # steady state
+            cam_r = model_r.cameras[model_r.images[0].camera_id]
+            scale_r = stages.cam_scales(store_r)[0]
+            focal_err = abs(cam_r.params[0] / scale_r - gt_r["focal"]) / gt_r["focal"]
+            real = {
+                "registered": int(model_r.num_registered),
+                "num_images": 10,
+                "ate": round(float(synth.evaluate_ate(model_r, gt_r)), 4),
+                "mean_reproj_px": round(model_r.mean_reprojection_error(), 3),
+                "focal_rel_err": round(float(focal_err), 4),
+                "images_per_s": round(model_r.num_registered / max(t_real, 1e-9), 3),
+            }
+            log(f"real-texture: {real}")
+
+        # ---- SCALE section: a 200-image sparse run (BASELINE.md names 1k/10k
+        # configs; bench_scale.py runs the full 1k — this keeps a scale proof
+        # in the driver-recorded JSON at bounded wall clock). Executables are
+        # already warm from the headline section (same sift/matching configs).
+        scale = {}
+        n_scale = int(os.environ.get("BENCH_SCALE", "200"))
+        if n_scale > 0 and _have_budget("scale"):
+            log(f"scale section ({n_scale} images)")
+            scale_dir = os.path.join(workdir, "scale_images")
+            gt_s = synth.generate_dataset(scale_dir, num_images=n_scale,
+                                          width=480, height=360, num_blobs=500,
+                                          seed=7)
+            cfg_s = PipelineConfig()
+            cfg_s.image_path = scale_dir
+            cfg_s.store_path = os.path.join(workdir, "scale_store")
+            for attr in ("sift", "matching", "mapper"):
+                setattr(cfg_s, attr, getattr(cfg, attr))
+            times_s = {}
+            store_s = ArtifactStore(cfg_s.store_path)
+            stages.prepare_images(cfg_s, store_s)
+            for name, fn in [("extraction", stages.run_extraction),
+                             ("matching", stages.run_matching),
+                             ("mapping", stages.run_mapping),
+                             ("merge", stages.run_merge)]:
+                t0 = time.time()
+                out_s = fn(cfg_s, store_s)
+                times_s[name] = round(time.time() - t0, 1)
+            from scanner_colmap_tpu.models import geometry as geom_b
+            centers = np.stack([np.asarray(geom_b.np_projection_center(
+                gt_s["qvecs"][i], gt_s["tvecs"][i]))
+                for i in range(len(gt_s["tvecs"]))])
+            span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
+            ate_s = float(synth.evaluate_ate(out_s, gt_s))
+            total_s = sum(times_s.values())
+            scale = {
+                "num_images": n_scale,
+                "registered": int(out_s.num_registered),
+                "images_per_s": round(out_s.num_registered / max(total_s, 1e-9), 3),
+                "ate": round(ate_s, 4),
+                "ate_rel_span": round(ate_s / max(span, 1e-9), 5),
+                "mean_reproj_px": round(out_s.mean_reprojection_error(), 3),
+                "stage_s": times_s,
+            }
+            log(f"scale: {scale}")
+
+    except Exception as e:  # keep the headline result
+        log(f"optional bench section failed: {e!r}")
 
     baseline_images_per_s = 0.5  # nominal COLMAP-CPU e2e sparse (see docstring)
     result = {
@@ -357,5 +375,64 @@ def main():
     print(json.dumps(result))
 
 
+def _supervise():
+    """Run main() in a monitored child, retrying on output stalls.
+
+    The remote backend's one-time load of the ~100 MB AOT SIFT executable
+    is flaky: usually 50-300 s, occasionally it hangs indefinitely (a
+    wedged transport — observed repeatedly; a fresh process is then served
+    normally). A hung XLA call cannot be cancelled in-process, so the
+    protection is a supervisor: spawn this script as a child, watch its
+    output activity, kill + retry when nothing has been emitted for
+    BENCH_STALL_S seconds. The child's stdout (the JSON result line) is
+    forwarded verbatim.
+    """
+    import subprocess
+    import threading
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    stall_s = float(os.environ.get("BENCH_STALL_S", "480"))
+    for a in range(attempts):
+        env = dict(os.environ, BENCH_SUPERVISED="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or None)
+        last = [time.time()]
+        out_buf = []
+
+        def pump(stream, sink, keep=None):
+            for line in iter(stream.readline, b""):
+                last[0] = time.time()
+                if keep is not None:
+                    keep.append(line)
+                sink.buffer.write(line)
+                sink.flush()
+
+        t_out = threading.Thread(target=pump,
+                                 args=(proc.stdout, sys.stdout, out_buf))
+        t_err = threading.Thread(target=pump, args=(proc.stderr, sys.stderr))
+        t_out.daemon = t_err.daemon = True
+        t_out.start()
+        t_err.start()
+        while proc.poll() is None:
+            time.sleep(5)
+            if time.time() - last[0] > stall_s:
+                log(f"supervisor: no output for {stall_s:.0f}s "
+                    f"(attempt {a + 1}/{attempts}) — killing child")
+                proc.kill()
+                break
+        proc.wait()
+        t_out.join(timeout=10)
+        t_err.join(timeout=10)
+        if proc.returncode == 0 and any(b'"metric"' in l for l in out_buf):
+            return 0
+        log(f"supervisor: attempt {a + 1} failed (rc={proc.returncode})")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SUPERVISED") == "1":
+        main()
+    else:
+        sys.exit(_supervise())
