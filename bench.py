@@ -311,8 +311,11 @@ def main():
             cfg_s = PipelineConfig()
             cfg_s.image_path = scale_dir
             cfg_s.store_path = os.path.join(workdir, "scale_store")
+            # deep-copy the sub-configs: sharing by reference would let any
+            # later mutation of the headline cfg leak into the scale run
+            import copy as _copy
             for attr in ("sift", "matching", "mapper"):
-                setattr(cfg_s, attr, getattr(cfg, attr))
+                setattr(cfg_s, attr, _copy.deepcopy(getattr(cfg, attr)))
             times_s = {}
             store_s = ArtifactStore(cfg_s.store_path)
             stages.prepare_images(cfg_s, store_s)

@@ -386,7 +386,7 @@ def _segsum_cam(vals, cam_idx, M):
 
 
 def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
-                 axis_name=None):
+                 axis_name=None, chunk: int | None = None):
     """LM trial solving the Schur camera system MATRIX-FREE with
     diagonally-preconditioned CG (Ceres ITERATIVE_SCHUR + SCHUR_JACOBI).
 
@@ -397,30 +397,71 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
     on a single chip. Shared-camera intrinsic ties (cfg.cam_group) are
     applied functionally (broadcast-from-leader / sum-to-leader), the same
     exact equality constraint as the dense tie matrix.
+
+    Memory: all per-observation products (Jacobians and their temporaries,
+    the matvec/back-substitution intermediates) stream through lax.scan in
+    point chunks; the only full-P residents are the stacked CG working set
+    Wc (P,T,8,3) + Vinv (P,3,3) + g_p (P,3) — ~27 floats/obs, a fixed bound
+    of ~0.5 GB at P=1M,T=4 f32 regardless of chunk size.
     """
     M = params.qvec.shape[0]
-    r, w, J_cam, J_pt, _ = _jacobians(params, obs, cfg)
-    wJc = J_cam * w[..., None, None]
-    wJp = J_pt * w[..., None, None]
-    dtype = r.dtype
+    Pn = params.xyz.shape[0]
+    T = obs.uv.shape[1]
+    dtype = params.xyz.dtype
+    if chunk is None or chunk > Pn:
+        chunk = Pn
+    n_chunks = Pn // chunk
+    assert Pn % chunk == 0, f"points {Pn} must divide by chunk {chunk}"
 
-    # landmark blocks (identical to the dense path)
-    V = jnp.einsum("ptri,ptrj->pij", wJp, J_pt)
-    g_p = -jnp.einsum("ptri,ptr->pi", wJp, r)
-    Vd = V + lam * jnp.eye(3, dtype=dtype) * jnp.maximum(
-        jnp.einsum("pii->p", V), 1e-6)[:, None, None] / 3.0
-    Vd = Vd + 1e-8 * jnp.eye(3, dtype=dtype)
-    Vinv = _inv33(Vd)
+    def slice_p(start):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
+        p = params._replace(xyz=sl(params.xyz))
+        o = BundleObs(cam_idx=sl(obs.cam_idx), uv=sl(obs.uv),
+                      valid=sl(obs.valid))
+        c = cfg._replace(pt_valid=sl(cfg.pt_valid))
+        return p, o, c
 
-    # camera blocks via segment sums — no (P, T, M) one-hot materialization
-    Wc = jnp.einsum("ptri,ptrj->ptij", wJc, J_pt)            # (P,T,8,3)
-    U = _segsum_cam(jnp.einsum("ptri,ptrj->ptij", wJc, J_cam),
-                    obs.cam_idx, M)
-    g_c = -_segsum_cam(jnp.einsum("ptri,ptr->pti", wJc, r), obs.cam_idx, M)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def build_chunk(carry, ci):
+        U_a, g_a, rhs_a, d_a = carry
+        p_c, o_c, c_c = slice_p(ci * chunk)
+        r, w, J_cam, J_pt, _ = _jacobians(p_c, o_c, c_c)
+        wJc = J_cam * w[..., None, None]
+        wJp = J_pt * w[..., None, None]
+        # landmark blocks (identical to the dense path)
+        V = jnp.einsum("ptri,ptrj->pij", wJp, J_pt)
+        g_p = -jnp.einsum("ptri,ptr->pi", wJp, r)
+        Vd = V + lam * eye3 * jnp.maximum(
+            jnp.einsum("pii->p", V), 1e-6)[:, None, None] / 3.0
+        Vd = Vd + 1e-8 * eye3
+        Vinv = _inv33(Vd)
+        Wc = jnp.einsum("ptri,ptrj->ptij", wJc, J_pt)        # (c,T,8,3)
+        # camera blocks via segment sums — no (c, T, M) one-hot
+        U_a = U_a + _segsum_cam(jnp.einsum("ptri,ptrj->ptij", wJc, J_cam),
+                                o_c.cam_idx, M)
+        g_a = g_a - _segsum_cam(jnp.einsum("ptri,ptr->pti", wJc, r),
+                                o_c.cam_idx, M)
+        # rhs subtraction term B Vinv g_p and Schur-Jacobi diagonal
+        y0 = jnp.einsum("pij,pj->pi", Vinv, g_p)
+        rhs_a = rhs_a + _segsum_cam(jnp.einsum("ptij,pj->pti", Wc, y0),
+                                    o_c.cam_idx, M)
+        d_obs = jnp.einsum("ptij,pjk,ptik->pti", Wc, Vinv, Wc)
+        d_a = d_a + _segsum_cam(d_obs, o_c.cam_idx, M)
+        return (U_a, g_a, rhs_a, d_a), (Wc, Vinv, g_p)
+
+    zeros_m8 = jnp.zeros((M, NUM_CAM_PARAMS), dtype)
+    (U, g_c, rhs_sub, d_sub), (Wc_s, Vinv_s, g_p_s) = jax.lax.scan(
+        build_chunk,
+        (jnp.zeros((M, NUM_CAM_PARAMS, NUM_CAM_PARAMS), dtype),
+         zeros_m8, zeros_m8, zeros_m8),
+        jnp.arange(n_chunks))
+    cam_idx_s = obs.cam_idx.reshape(n_chunks, chunk, T)
     if axis_name is not None:
         # points sharded over the mesh axis: camera-side systems reduce
         # over ICI; priors/damping apply to the replicated result below
-        U, g_c = jax.lax.psum((U, g_c), axis_name)
+        U, g_c, rhs_sub, d_sub = jax.lax.psum(
+            (U, g_c, rhs_sub, d_sub), axis_name)
 
     wf = cfg.prior_weight_f
     wk = cfg.prior_weight_k
@@ -431,12 +472,6 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
     Ud = U + lam * jnp.eye(NUM_CAM_PARAMS, dtype=dtype) * jnp.maximum(
         jnp.einsum("mii->m", U), 1e-6)[:, None, None] / NUM_CAM_PARAMS
 
-    # rhs = g_c - B Vinv g_p
-    y0 = jnp.einsum("pij,pj->pi", Vinv, g_p)
-    rhs_sub = _segsum_cam(jnp.einsum("ptij,pj->pti", Wc, y0),
-                          obs.cam_idx, M)
-    if axis_name is not None:
-        rhs_sub = jax.lax.psum(rhs_sub, axis_name)
     rhs = g_c - rhs_sub
 
     intr8 = jnp.stack([cfg.refine_focal, cfg.refine_distortion])
@@ -469,11 +504,17 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
     def matvec(xr):
         x = expand(xr * rm) * pm                             # (M, 8)
         ux = jnp.einsum("mij,mj->mi", Ud, x)
-        xc = x[obs.cam_idx]                                  # (P, T, 8)
-        u = jnp.einsum("ptij,pti->pj", Wc, xc)               # B^T x
-        yv = jnp.einsum("pij,pj->pi", Vinv, u)
-        z = jnp.einsum("ptij,pj->pti", Wc, yv)
-        sub = _segsum_cam(z, obs.cam_idx, M)
+
+        def mv_chunk(acc, xs):
+            Wc_c, Vinv_c, ci_c = xs
+            xc = x[ci_c]                                     # (c, T, 8)
+            u = jnp.einsum("ptij,pti->pj", Wc_c, xc)         # B^T x
+            yv = jnp.einsum("pij,pj->pi", Vinv_c, u)
+            z = jnp.einsum("ptij,pj->pti", Wc_c, yv)
+            return acc + _segsum_cam(z, ci_c, M), None
+
+        sub, _ = jax.lax.scan(mv_chunk, zeros_m8,
+                              (Wc_s, Vinv_s, cam_idx_s))
         if axis_name is not None:
             # one psum per CG iteration — the (M, 8) partial, not O(M^2)
             sub = jax.lax.psum(sub, axis_name)
@@ -481,10 +522,7 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
 
     b = reduce_(rhs * pm) * rm
     # Schur-Jacobi diagonal preconditioner on the reduced system
-    d_obs = jnp.einsum("ptij,pjk,ptik->pti", Wc, Vinv, Wc)   # (P,T,8)
-    d_sub = _segsum_cam(d_obs, obs.cam_idx, M)
-    if axis_name is not None:
-        d_sub = jax.lax.psum(d_sub, axis_name)
+    # (d_sub accumulated + psum-reduced in the build scan above)
     diag_full = (jnp.einsum("mii->mi", Ud) - d_sub) * pm
     diag_red = reduce_(diag_full) * rm
     precond = jnp.where(diag_red > 1e-8,
@@ -515,9 +553,13 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
                        jnp.zeros_like(dc_cam))
 
     # back-substitute points: dp_j = Vinv_j (g_p_j - B_j^T dc)
-    dc_per_obs = dc_cam[obs.cam_idx]
-    Bt_dc = jnp.einsum("ptij,pti->pj", Wc, dc_per_obs)
-    dp = jnp.einsum("pij,pj->pi", Vinv, g_p - Bt_dc)
+    def bs_chunk(_, xs):
+        Wc_c, Vinv_c, g_p_c, ci_c = xs
+        Bt_dc = jnp.einsum("ptij,pti->pj", Wc_c, dc_cam[ci_c])
+        return None, jnp.einsum("pij,pj->pi", Vinv_c, g_p_c - Bt_dc)
+
+    _, dp_s = jax.lax.scan(bs_chunk, None, (Wc_s, Vinv_s, g_p_s, cam_idx_s))
+    dp = dp_s.reshape(Pn, 3)
     return _apply_delta(params, dc_cam.reshape(M * NUM_CAM_PARAMS), dp, cfg)
 
 
@@ -545,6 +587,8 @@ def bundle_adjust(
     Returns (params, info dict of (costs over iters, final mean px error,
     num accepted steps)).
     """
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"solver must be 'dense' or 'cg', got {solver!r}")
     P = params.xyz.shape[0]
     assert P % chunk == 0, f"max_points {P} must be divisible by chunk {chunk}"
     cost0, _, _ = robust_cost(params, obs, cfg, axis_name)
@@ -564,7 +608,7 @@ def bundle_adjust(
         def trial(p, lam, cost, done, n_applied):
             if solver == "cg":
                 cand = _lm_trial_cg(p, obs, cfg, lam, cg_iters,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name, chunk=chunk)
             else:
                 cand = _lm_trial(p, obs, cfg, lam, chunk, axis_name)
             new_cost, _, _ = robust_cost(cand, obs, cfg, axis_name)

@@ -114,8 +114,11 @@ def fuse_tsdf(inp: FusionInput, origin, voxel: float, dims,
     colors = inp.colors.astype(jnp.float32)
     if colors.ndim == 3:
         colors = colors[..., None].repeat(3, -1)
-    mx = jnp.max(colors)
-    colors = jnp.where(mx > 1.5, colors / 255.0, colors)
+    # normalization keyed off the INPUT dtype, not the data range: integer
+    # imagery is 0-255 even when uniformly dark (a max<=1 uint8 frame must
+    # not be mistaken for already-normalized floats)
+    if np.issubdtype(np.asarray(inp.colors).dtype, np.integer):
+        colors = colors / 255.0
     trunc = float(trunc_voxels) * float(voxel)
     tsdf, w, c = _tsdf_scan(
         inp.depths.astype(jnp.float32), inp.valid, colors,
@@ -286,8 +289,34 @@ def marching_tetrahedra(grid: TsdfGrid, min_weight: float = 1.0,
             & (faces[:, 0] != faces[:, 2]))
     faces = faces[good]
 
-    # orient: face normal should point toward positive TSDF (free space)
-    gx, gy, gz = np.gradient(np.where(obs, F, 0.0))
+    # orient: face normal should point toward positive TSDF (free space).
+    # The gradient must not see unobserved voxels as the iso value 0 (that
+    # flips boundary faces where observed free space is ~+1): fill
+    # unobserved voxels with the mean of their observed 6-neighbors first.
+    def _shift(a, ax, sh):
+        out = np.zeros_like(a)
+        src = [slice(None)] * 3
+        dst = [slice(None)] * 3
+        if sh > 0:
+            dst[ax], src[ax] = slice(sh, None), slice(None, -sh)
+        else:
+            dst[ax], src[ax] = slice(None, sh), slice(-sh, None)
+        out[tuple(dst)] = a[tuple(src)]
+        return out
+
+    F_fill = np.where(obs, F, 0.0)
+    obs_f = obs.copy()
+    for _ in range(2):
+        acc = np.zeros_like(F_fill)
+        cnt = np.zeros_like(F_fill)
+        for ax in range(3):
+            for sh in (1, -1):
+                acc += _shift(np.where(obs_f, F_fill, 0.0), ax, sh)
+                cnt += _shift(obs_f.astype(F_fill.dtype), ax, sh)
+        newly = ~obs_f & (cnt > 0)
+        F_fill = np.where(newly, acc / np.maximum(cnt, 1.0), F_fill)
+        obs_f |= newly
+    gx, gy, gz = np.gradient(F_fill)
     cent = verts[faces].mean(axis=1)
     ci = np.clip(np.round((cent - grid.origin) / grid.voxel).astype(np.int64),
                  0, [nx - 1, ny - 1, nz - 1])

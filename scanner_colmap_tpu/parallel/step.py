@@ -55,10 +55,6 @@ def make_distributed_step(mesh: Mesh, overlap: int, ba_iterations: int = 3,
         qvec=P(), tvec=P(), log_f=P(), k1=P(), xyz=P(axis_name))
     obs_spec = ba.BundleObs(cam_idx=P(axis_name), uv=P(axis_name),
                             valid=P(axis_name))
-    cfg_spec = ba.BundleConfig(
-        cc=P(), cam_valid=P(), pose_free=P(), pt_valid=P(axis_name),
-        refine_focal=P(), refine_distortion=P(), loss_scale=P(),
-        prior_log_f=P(), prior_k1=P(), prior_weight_f=P(), prior_weight_k=P())
     info_spec = {"initial_cost": P(), "final_cost": P(), "iterations": P(),
                  "mean_reproj_px": P(), "num_obs": P(), "final_lambda": P()}
 
@@ -69,10 +65,29 @@ def make_distributed_step(mesh: Mesh, overlap: int, ba_iterations: int = 3,
             axis_name=axis_name)
         return idx, ok, p_out, info
 
-    fn = shard_map(
-        step, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), params_spec, obs_spec, cfg_spec),
-        out_specs=(P(axis_name), P(axis_name), params_spec, info_spec),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    # The BundleConfig spec must mirror the config pytree exactly: a tied
+    # (shared-camera) config carries cam_group as a replicated leaf, an
+    # untied one carries None — build and cache one jitted step per shape.
+    fns: dict[bool, object] = {}
+
+    def _get(tied: bool):
+        if tied not in fns:
+            cfg_spec = ba.BundleConfig(
+                cc=P(), cam_valid=P(), pose_free=P(), pt_valid=P(axis_name),
+                refine_focal=P(), refine_distortion=P(), loss_scale=P(),
+                prior_log_f=P(), prior_k1=P(), prior_weight_f=P(),
+                prior_weight_k=P(),
+                cam_group=(P() if tied else None))
+            fns[tied] = jax.jit(shard_map(
+                step, mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name), params_spec, obs_spec,
+                          cfg_spec),
+                out_specs=(P(axis_name), P(axis_name), params_spec, info_spec),
+                check_vma=False,
+            ))
+        return fns[tied]
+
+    def dispatch(desc, kp_valid, params, obs, cfg):
+        return _get(cfg.cam_group is not None)(desc, kp_valid, params, obs, cfg)
+
+    return dispatch

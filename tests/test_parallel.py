@@ -69,6 +69,27 @@ def test_fused_step_runs(rng, mesh):
     assert bool(jnp.all(jnp.isfinite(p_out.xyz)))
 
 
+def test_fused_step_shared_camera_tie(rng, mesh):
+    """The fused step with a tied (shared-camera) config: the cfg shard
+    spec must carry cam_group as a replicated leaf (round-2 bug: step.py's
+    static spec omitted it and any tied config crashed with a pytree
+    mismatch). Both tied and untied configs run through one step builder."""
+    from __graft_entry__ import _synthetic_bundle
+
+    M, K = 32, 32
+    params, obs, cfg, desc, kp_valid = _synthetic_bundle(M=M, Pn=256, T=4, K=K)
+    step = make_distributed_step(mesh, overlap=2, ba_iterations=2, chunk=16)
+    # untied first, then tied through the SAME builder (exercises the cache)
+    idx_u, ok_u, p_u, info_u = step(desc, kp_valid, params, obs, cfg)
+    cfg_tied = cfg._replace(cam_group=jnp.zeros(M, jnp.int32),
+                            refine_focal=jnp.asarray(True))
+    idx, ok, p_out, info = step(desc, kp_valid, params, obs, cfg_tied)
+    assert idx.shape == (M, 2, K)
+    assert float(info["final_cost"]) <= float(info["initial_cost"])
+    f = np.asarray(p_out.log_f)
+    assert f.max() - f.min() == 0.0  # tied slots move together
+
+
 def test_distributed_cg_ba_matches_single_device(rng, mesh):
     """The matrix-free CG-Schur solver under 8-way point sharding: one
     (M, 8) psum per CG iteration replaces the dense path's O((M*8)^2)
