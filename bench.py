@@ -186,7 +186,7 @@ def main():
     # failure or overrun in any of them cannot cost the headline JSON
     # line the driver records. BENCH_BUDGET_S (default 2400) soft-caps
     # total bench wall clock; sections are skipped once it is spent.
-    dense, real, scale = {}, {}, {}
+    dense, real, scale, ba_scale = {}, {}, {}, {}
     _budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
     def _have_budget(name):
@@ -196,6 +196,51 @@ def main():
         return True
 
     try:
+        # ---- chip-filling BA (BASELINE "speed-of-light per chip"): the
+        # dense Schur path at M=256/P=49k fills the MXU — the Schur
+        # accumulation is a (MC, 3c)@(3c, MC) matmul per chunk; the
+        # matrix-free CG path at M=1024 (the 1k-camera global-refinement
+        # shape) is segment-sum/gather bound, so its ceiling is HBM
+        # bandwidth + gather rate, not the MXU — both reported.
+        if os.environ.get("BENCH_BA_SCALE", "1") != "0" \
+                and _have_budget("ba_scale"):
+            log("BA at scale (dense M=256/P=49k, CG M=1024/P=49k)")
+
+            def _ba_run(M, Pn, T, solver, chunk, cg_iters=32, iters=10):
+                prm, ob, cf, _, _ = _synthetic_bundle(M=M, Pn=Pn, T=T, K=8)
+                kw = dict(max_iterations=iters, chunk=chunk, solver=solver,
+                          cg_iters=cg_iters, function_tolerance=0.0)
+                p, nfo = ba.bundle_adjust(prm, ob, cf, **kw)
+                float(nfo["final_cost"])            # warmup + sync
+                t0 = time.time()
+                p, nfo = ba.bundle_adjust(prm, ob, cf, **kw)
+                n = float(nfo["iterations"])
+                float(nfo["final_cost"])
+                return max(time.time() - t0, 1e-9), n
+
+            t_d, n_d = _ba_run(256, 49152, 4, "dense", 1024)
+            fl_d = flops_acct.ba_flops_per_iter(256, 49152, 4)
+            tf_d = fl_d * n_d / t_d / 1e12
+            t_c, n_c = _ba_run(1024, 49152, 4, "cg", 49152)
+            fl_c = flops_acct.ba_cg_flops_per_iter(1024, 49152, 4, 32)
+            tf_c = fl_c * n_c / t_c / 1e12
+            # CG roofline: bytes moved per LM iteration — the stacked CG
+            # working set (Wc 96B + Vinv 36B + g_p 12B per point-slot)
+            # re-read by every CG application plus the build pass
+            bytes_ws = 49152 * (4 * 96.0 + 36.0 + 12.0)
+            cg_gbs = (32 + 1) * bytes_ws * n_c / t_c / 1e9
+            ba_scale = {
+                "dense_M256_P49k_iters_per_s": round(n_d / t_d, 2),
+                "dense_achieved_tflops": round(tf_d, 2),
+                "dense_frac_of_peak": (round(tf_d / peak_tflops, 4)
+                                       if peak_tflops else None),
+                "cg_M1024_P49k_iters_per_s": round(n_c / t_c, 2),
+                "cg_achieved_tflops": round(tf_c, 3),
+                "cg_effective_gbs": round(cg_gbs, 1),
+            }
+            util["ba_dense_big_frac_of_peak"] = ba_scale["dense_frac_of_peak"]
+            log(f"BA at scale: {ba_scale}")
+
         # dense phase (north star: fused points/sec per chip). Timed on the
         # steady-state second pass like the sparse stages.
         dense = {}
@@ -369,6 +414,7 @@ def main():
             "mapper_mode": cfg.mapper.mode,
             "alt_mapper": alt,
             "utilization": util,
+            "ba_scale": ba_scale,
             "real_texture": real,
             "scale": scale,
             "platform": jax.devices()[0].platform,

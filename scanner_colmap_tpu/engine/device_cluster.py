@@ -175,6 +175,46 @@ def _find_initial_pair(members, graph, two_view, cfg: MapperConfig):
     return best[1], best[2]
 
 
+def _registration_order_tracks(n: int, tr_img: np.ndarray, la: int, lb: int
+                               ) -> List[int]:
+    """COLMAP-style visible-points registration order, statically unrolled.
+
+    The host engine ranks the next image by its count of VISIBLE
+    triangulated points (incremental.py find_next_images, replicating
+    reference incremental_mapping.cc:323-328 FindNextImages). The device
+    schedule must be fixed before the solve runs, so we unroll the same
+    ranking against a proxy: a track counts as "triangulated" once >= 2 of
+    its observations are registered, and image x's score is the number of
+    such tracks observing x. Updated greedily after each registration —
+    unlike raw pair-connectivity (the round-2 schedule), this prefers
+    images whose 2D-3D support actually exists at registration time, which
+    is what PnP quality depends on.
+    """
+    num_tracks, _ = tr_img.shape
+    memb = np.zeros((num_tracks, n), bool)
+    valid = tr_img >= 0
+    rows = np.repeat(np.arange(num_tracks), tr_img.shape[1])[valid.reshape(-1)]
+    memb[rows, tr_img.reshape(-1)[valid.reshape(-1)]] = True
+    membf = memb.astype(np.float64)
+
+    reg = np.zeros(n, bool)
+    reg[la] = reg[lb] = True
+    reg_count = memb[:, la].astype(np.int32) + memb[:, lb].astype(np.int32)
+    out: List[int] = []
+    for _ in range(n - 2):
+        vis = reg_count >= 2
+        score = np.where(reg, -1.0, vis @ membf)
+        nxt = int(np.argmax(score))
+        if score[nxt] <= 0:
+            # disconnected leftovers still get a PnP attempt, in member order
+            out.extend(x for x in range(n) if not reg[x] and x not in out)
+            break
+        out.append(nxt)
+        reg[nxt] = True
+        reg_count += memb[:, nxt]
+    return out
+
+
 def _registration_order(members, graph, a: int, b: int) -> List[int]:
     """Greedy connectivity order of LOCAL indices, starting after (a, b)."""
     n = len(members)
@@ -285,7 +325,10 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
     cam_in[lb, 15] = 0.0
 
     # --- schedule ---------------------------------------------------------
-    rest = _registration_order(members, graph, a, b)
+    if getattr(cfg, "device_schedule", "visible_points") == "visible_points":
+        rest = _registration_order_tracks(n, tr_img, la, lb)
+    else:
+        rest = _registration_order(members, graph, a, b)
     order = np.full(S, -1, np.int32)
     forced = np.zeros(S, np.float32)
     order[0] = lb

@@ -155,13 +155,79 @@ DEFAULT_TEXTURE = os.path.join(os.path.dirname(os.path.dirname(
     "grace_hopper.jpg")
 
 
+def _composite_bumps(rng, num_bumps: int, half_x: float, half_y: float,
+                     depth0: float):
+    """Random smooth plateaus protruding from the wall (toward the camera):
+    [cx, cy, radius, height, edge_width] per bump. Real scenes are not
+    single smooth reliefs; these create genuine depth discontinuity-like
+    structure (steep tanh edges) and occlusion boundaries."""
+    bumps = []
+    for _ in range(num_bumps):
+        r = rng.uniform(0.10, 0.22) * depth0
+        bumps.append([rng.uniform(-0.7 * half_x, 0.7 * half_x),
+                      rng.uniform(-0.6 * half_y, 0.6 * half_y),
+                      r, rng.uniform(0.08, 0.18) * depth0, 0.25 * r])
+    return bumps
+
+
+def _surface_with_bumps(x, y, depth0, depth_spread, bumps):
+    z = depth0 + depth_spread * (
+        0.5 * np.sin(0.45 * x) * np.cos(0.35 * y) + 0.25 * np.sin(0.9 * y))
+    for (bx, by, r, h, w) in bumps or []:
+        d = np.sqrt((x - bx) ** 2 + (y - by) ** 2)
+        # plateau toward the camera (smaller z); tanh edge of width w
+        z = z - 0.5 * h * (1.0 - np.tanh((d - r) / w))
+    return z
+
+
+def _march_rays(C, d, surface_z, z_lo, z_hi, coarse: int = 64,
+                bisect: int = 24):
+    """Robust per-pixel ray/heightfield intersection: coarse sampling for
+    the FIRST sign change of z_ray - surface(x, y) along each ray, then
+    bisection. Unlike fixed-point iteration this converges for steep
+    composite surfaces (|grad| >~ 1) and picks the NEAREST hit, giving
+    correct occlusion at bump silhouettes."""
+    dz = d[..., 2]
+    s_lo = (z_lo - C[2]) / dz
+    s_hi = (z_hi - C[2]) / dz
+
+    def g(s):
+        px = C[0] + s * d[..., 0]
+        py = C[1] + s * d[..., 1]
+        pz = C[2] + s * dz
+        return pz - surface_z(px, py)
+
+    # coarse scan: first index where g >= 0 (ray passed the surface)
+    a = s_lo.copy()
+    b = s_hi.copy()
+    found = np.zeros(a.shape, bool)
+    prev = a.copy()
+    for k in range(coarse + 1):
+        s = s_lo + (s_hi - s_lo) * (k / coarse)
+        hit = (g(s) >= 0) & ~found
+        a = np.where(hit, prev, a)
+        b = np.where(hit, s, b)
+        found |= hit
+        prev = s
+    for _ in range(bisect):
+        mid = 0.5 * (a + b)
+        gm = g(mid)
+        a = np.where(gm < 0, mid, a)
+        b = np.where(gm < 0, b, mid)
+    return 0.5 * (a + b)
+
+
 def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
                                   width: int = 480, height: int = 400,
                                   focal: float = 450.0, seed: int = 0,
                                   depth0: float = 6.0,
                                   depth_spread: float = 0.9,
                                   texture_path: str | None = None,
-                                  jpeg_quality: int = 92):
+                                  jpeg_quality: int = 92,
+                                  num_bumps: int = 0,
+                                  exposure_jitter: float = 0.0,
+                                  noise_std: float = 0.0,
+                                  motion_blur_px: int = 0):
     """Render views of a 3D relief surface textured with a REAL PHOTOGRAPH.
 
     The reference's only demonstrated capability is a reconstruction of
@@ -177,10 +243,19 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
 
     Returns the ground-truth dict (same schema as generate_dataset; the
     surface matches gt_surface_z so evaluate_dense works unchanged).
+
+    Real-camera statistics knobs (round-3 hardening):
+      num_bumps       composite non-planar geometry — smooth plateaus
+                      protruding toward the camera, with occlusion edges
+      exposure_jitter per-image gain in [1-j, 1+j] + gamma in [1-j/2, 1+j/2]
+                      (auto-exposure / lighting variation between shots)
+      noise_std       Gaussian sensor noise, DN (0-255 scale), before JPEG
+      motion_blur_px  1D box blur length along the track direction
     """
     from PIL import Image as PILImage
 
     os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
     tex_path = texture_path or DEFAULT_TEXTURE
     with PILImage.open(tex_path) as tim:
         tex = np.asarray(tim.convert("RGB")).astype(np.float64)
@@ -205,9 +280,10 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
     half_x = track_half + depth0 * (0.5 * width / focal) * 1.35
     half_y = depth0 * (0.5 * height / focal) * 1.3 + 0.2
 
+    bumps = _composite_bumps(rng, num_bumps, half_x, half_y, depth0)
+
     def surface_z(x, y):
-        return depth0 + depth_spread * (
-            0.5 * np.sin(0.45 * x) * np.cos(0.35 * y) + 0.25 * np.sin(0.9 * y))
+        return _surface_with_bumps(x, y, depth0, depth_spread, bumps)
 
     def sample_texture(x, y):
         # world (x, y) -> texture pixel, bilinear
@@ -234,17 +310,30 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
         dc = np.stack([(xx - cx) / focal, (yy - cy) / focal,
                        np.ones_like(xx)], axis=-1)
         d = dc @ R  # R^T applied row-wise
-        dz = d[..., 2]
-        # fixed-point ray marching onto z = surface(x, y): converges fast
-        # because |grad surface| * |dx/dz| << 1 for this gentle relief
-        s = (depth0 - C[2]) / dz
-        for _ in range(15):
-            px = C[0] + s * d[..., 0]
-            py = C[1] + s * d[..., 1]
-            s = (surface_z(px, py) - C[2]) / dz
+        # coarse-scan + bisection ray marching: converges on the composite
+        # (bumped) surface and resolves occlusion at bump silhouettes,
+        # where fixed-point iteration diverges
+        h_max = max((b[3] for b in bumps), default=0.0)
+        s = _march_rays(C, d, surface_z,
+                        depth0 - depth_spread - h_max - 0.2,
+                        depth0 + depth_spread + 0.2)
         px = C[0] + s * d[..., 0]
         py = C[1] + s * d[..., 1]
-        img = np.clip(sample_texture(px, py), 0, 255).astype(np.uint8)
+        img = np.clip(sample_texture(px, py), 0, 255)
+        if exposure_jitter > 0:
+            gain = rng.uniform(1 - exposure_jitter, 1 + exposure_jitter)
+            gamma = rng.uniform(1 - 0.5 * exposure_jitter,
+                                1 + 0.5 * exposure_jitter)
+            img = 255.0 * np.clip(gain * (img / 255.0) ** gamma, 0, 1)
+        if motion_blur_px > 1:
+            k = int(motion_blur_px)
+            acc = np.zeros_like(img)
+            for o in range(k):  # 1D box blur along the (x) track direction
+                acc += np.roll(img, o - k // 2, axis=1)
+            img = acc / k
+        if noise_std > 0:
+            img = img + rng.normal(0.0, noise_std, img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
         pil = PILImage.fromarray(img, "RGB")
         pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
                  quality=jpeg_quality, exif=_camera_exif(focal, width))
@@ -254,7 +343,8 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
         "qvecs": [q.tolist() for q in qs],
         "tvecs": [t.tolist() for t in ts],
         "points": [],
-        "surface": {"depth0": depth0, "depth_spread": depth_spread},
+        "surface": {"depth0": depth0, "depth_spread": depth_spread,
+                    "bumps": bumps},
         "texture": os.path.basename(tex_path),
     }
     with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
@@ -289,11 +379,11 @@ def evaluate_ate(rec, gt, id_order=None):
 
 
 def gt_surface_z(gt, x, y):
-    """Analytic scene surface z(x, y) (matches generate_dataset)."""
+    """Analytic scene surface z(x, y) (matches the generators, including
+    composite bumps when present)."""
     d0 = gt["surface"]["depth0"]
     ds = gt["surface"]["depth_spread"]
-    return d0 + ds * (0.5 * np.sin(0.45 * x) * np.cos(0.35 * y)
-                      + 0.25 * np.sin(0.9 * y))
+    return _surface_with_bumps(x, y, d0, ds, gt["surface"].get("bumps"))
 
 
 def evaluate_dense(rec, gt, fused_xyz):

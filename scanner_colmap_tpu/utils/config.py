@@ -151,6 +151,12 @@ class MapperConfig:
                                         # cluster span measurably hurts both
                                         # registration and ATE
     device_max_points: int = 8192       # track capacity per cluster
+    device_schedule: str = "visible_points"  # static registration order:
+                                        # "visible_points" unrolls COLMAP's
+                                        # visible-triangulated-points ranking
+                                        # against the track structure;
+                                        # "connectivity" = raw pair-inlier
+                                        # greedy (the round-2 schedule)
     device_pnp_trials: int = 256
     device_batch_clusters: bool = False  # solve ALL clusters as ONE vmapped
                                         # program. MEASURED SLOWER (4.0 s vs

@@ -65,6 +65,28 @@ def ba_flops_per_iter(M: int, P: int, T: int) -> float:
     return cells * per_cell + P * per_point + (2.0 / 3.0) * MC**3
 
 
+def ba_cg_flops_per_iter(M: int, P: int, T: int, cg_iters: int) -> float:
+    """FLOPs of ONE LM iteration of the matrix-free CG-Schur path
+    (ops/ba._lm_trial_cg). Dominant terms:
+
+      build (once per trial):
+        Jacobian chains ~250, V/g_p ~40, Wc ~96, U-segsum ~256+64,
+        g_c ~32, rhs_sub ~48, Schur-Jacobi diag ~200 flops / obs cell,
+        plus ~90 flops / point (3x3 inverse, y0)
+      per CG iteration:
+        matvec Wc products ~105 / cell, ~20 / point, 2*64*M for Ud x
+      two robust_cost evaluations: ~240 / cell
+
+    Unlike the dense path there is NO M-scaled per-cell term and no MC^2
+    accumulation — the work is segment-sum/gather dominated, so the bound
+    is HBM bandwidth, not the MXU peak (see bench roofline note)."""
+    cells = float(P) * T
+    build = cells * (250.0 + 40.0 + 96.0 + 320.0 + 32.0 + 48.0 + 200.0
+                     + 240.0) + P * 90.0
+    per_cg = cells * 105.0 + P * 20.0 + 128.0 * M
+    return build + cg_iters * per_cg
+
+
 def patch_match_taps(H: int, W: int, S: int, window_radius: int,
                      num_iterations: int, window_step: int = 1,
                      n_candidates: int = 10) -> float:
