@@ -341,9 +341,15 @@ def main():
         if os.environ.get("BENCH_REAL", "1") != "0" and _have_budget("real"):
             log("real-texture eval")
             real_dir = os.path.join(workdir, "real_images")
+            # round-3 hardening knobs ON: composite non-planar geometry +
+            # exposure variation + sensor noise (the full sweep lives in
+            # tools/exp_real_sweep.py; this keeps one hardened config in
+            # every BENCH record)
             gt_r = synth.generate_real_texture_dataset(real_dir, num_images=10,
                                                        width=480, height=400,
-                                                       seed=1)
+                                                       seed=1, num_bumps=2,
+                                                       exposure_jitter=0.2,
+                                                       noise_std=2.0)
             cfg_r = PipelineConfig()
             cfg_r.image_path = real_dir
             cfg_r.store_path = os.path.join(workdir, "real_store")

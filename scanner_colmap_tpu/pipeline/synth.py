@@ -313,7 +313,9 @@ def generate_real_texture_dataset(out_dir: str, num_images: int = 10,
         # coarse-scan + bisection ray marching: converges on the composite
         # (bumped) surface and resolves occlusion at bump silhouettes,
         # where fixed-point iteration diverges
-        h_max = max((b[3] for b in bumps), default=0.0)
+        # overlapping bumps stack — bound the near plane by the SUM of
+        # heights, not the max
+        h_max = sum(b[3] for b in bumps)
         s = _march_rays(C, d, surface_z,
                         depth0 - depth_spread - h_max - 0.2,
                         depth0 + depth_spread + 0.2)

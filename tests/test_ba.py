@@ -353,3 +353,15 @@ def test_ba_cg_scales_past_dense_bound(rng):
     assert float(info["mean_reproj_px"]) < 1.0
     err = np.linalg.norm(np.asarray(p_c.tvec) - tvec, axis=1)
     assert np.median(err) < 0.05
+
+
+def test_solver_name_validated(rng):
+    """Unknown solver names raise instead of silently running dense."""
+    import pytest
+
+    from tests.test_ba import make_bundle_problem
+
+    params, obs, cfg, _ = make_bundle_problem(rng, M=4, P=16, T=3)
+    with pytest.raises(ValueError, match="solver"):
+        ba.bundle_adjust(params, obs, cfg, max_iterations=1, chunk=16,
+                         solver="CG")

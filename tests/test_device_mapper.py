@@ -106,3 +106,27 @@ def test_device_mapper_no_initial_pair(rng):
     rec = map_cluster_device(kp, cams, graph, tv, cfg, seed=0)
     assert rec.num_registered == 0
     assert len(rec.points3D) == 0
+
+
+def test_registration_order_visible_points():
+    """The visible-points schedule must register images in order of
+    triangulated-track support, not raw connectivity: an image whose
+    tracks all lack two registered views scores 0 until support exists."""
+    import numpy as np
+
+    from scanner_colmap_tpu.engine.device_cluster import (
+        _registration_order_tracks)
+
+    # 5 images; tracks (rows) over local indices; -1 pads
+    tr = np.array([
+        [0, 1, 2, -1],   # seen by init pair -> visible once 0,1 registered
+        [0, 1, 3, -1],
+        [2, 3, -1, -1],  # not visible until 2 or 3 registered
+        [3, 4, -1, -1],
+        [2, 4, -1, -1],
+    ], np.int32)
+    order = _registration_order_tracks(5, tr, la=0, lb=1)
+    assert sorted(order) == [2, 3, 4]
+    # 2 and 3 each see one track with >=2 registered obs (rows 0/1); 4 sees
+    # none -> 4 must come last
+    assert order[-1] == 4

@@ -75,3 +75,52 @@ def test_real_texture_sparse_pipeline_ate(tmp_path):
     scale = stages.cam_scales(store)[0]
     focal_err = abs(cam.params[0] / scale - gt["focal"]) / gt["focal"]
     assert focal_err < 0.05, focal_err
+
+
+def test_composite_surface_ray_march(tmp_path):
+    """The coarse+bisection ray marcher must land ON the composite (bumped)
+    surface and gt_surface_z must reproduce the generator's geometry."""
+    import numpy as np
+
+    from scanner_colmap_tpu.pipeline import synth
+
+    out = str(tmp_path / "imgs")
+    gt = synth.generate_real_texture_dataset(out, num_images=2, width=64,
+                                             height=48, seed=3, num_bumps=3)
+    assert len(gt["surface"]["bumps"]) == 3
+    # marcher: rays from a camera at origin through the surface
+    C = np.zeros(3)
+    d = np.stack(np.meshgrid(np.linspace(-0.3, 0.3, 8),
+                             np.linspace(-0.3, 0.3, 8)), -1)
+    d = np.concatenate([d, np.ones((8, 8, 1))], -1)
+
+    def surf(x, y):
+        return synth.gt_surface_z(gt, x, y)
+
+    d0 = gt["surface"]["depth0"]
+    ds = gt["surface"]["depth_spread"]
+    h = sum(b[3] for b in gt["surface"]["bumps"])  # overlapping bumps stack
+    s = synth._march_rays(C, d, surf, d0 - ds - h - 0.2, d0 + ds + 0.2)
+    px = C[0] + s * d[..., 0]
+    py = C[1] + s * d[..., 1]
+    pz = C[2] + s * d[..., 2]
+    err = np.abs(pz - surf(px, py))
+    assert err.max() < 1e-4, err.max()
+
+
+def test_exposure_jitter_changes_brightness(tmp_path):
+    """Per-image exposure jitter must actually vary the rendered frames."""
+    import numpy as np
+    from PIL import Image
+
+    from scanner_colmap_tpu.pipeline import synth
+
+    out = str(tmp_path / "imgs")
+    synth.generate_real_texture_dataset(out, num_images=4, width=64,
+                                        height=48, seed=5,
+                                        exposure_jitter=0.35)
+    means = []
+    for i in range(4):
+        with Image.open(f"{out}/image_{i:04d}.jpg") as im:
+            means.append(np.asarray(im.convert("L")).mean())
+    assert np.ptp(means) > 5.0, means  # frames differ in brightness
