@@ -302,7 +302,9 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
 
 
 def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
-                                graph, two_view, mapper_cfg
+                                graph, two_view, mapper_cfg,
+                                window: int = 10,
+                                loop_gate_factor: float = 3.0
                                 ) -> Reconstruction:
     """COLMAP IterativeGlobalRefinement over the MERGED model with the FULL
     correspondence graph (incremental_mapping.cc:116-139 semantics — the
@@ -347,6 +349,25 @@ def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
         if len(track) >= 2:
             mapper.rec.add_point3D(np.asarray(pt.xyz, np.float64), track,
                                    rgb=pt.rgb)
+    # loop-closure pre-round: when the graph carries edges far outside the
+    # matching window (loop pairs — stages.run_matching loop_closure), the
+    # merged model's inter-leg drift can push cross-loop reprojections past
+    # the normal acceptance gate, so the constraint would be filtered before
+    # it could act. One refinement round with gates/loss loosened by
+    # loop_gate_factor lets retriangulation CREATE the cross-loop tracks and
+    # the robust BA pull the loop together; the normal rounds then re-filter
+    # at full strictness.
+    has_loops = any(abs(int(i) - int(j)) > 2 * window for (i, j) in two_view)
+    if has_loops and loop_gate_factor > 1.0:
+        import dataclasses as _dc
+
+        mapper.cfg = _dc.replace(
+            mapper_cfg,
+            filter_max_reproj_error=(mapper_cfg.filter_max_reproj_error
+                                     * loop_gate_factor),
+            ba_global_max_refinements=1)
+        mapper.global_bundle_adjustment()
+        mapper.cfg = mapper_cfg
     mapper.global_bundle_adjustment()
     mapper.rec.compute_reprojection_errors()
     return mapper.rec

@@ -774,8 +774,11 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
         # converged trips are ~free (lax.cond skip in bundle_adjust), so the
         # one-shot threshold prices the WORST case against saved round
         # trips: typical solves converge well inside the budget and pay
-        # only converged_iters * trip_ms
-        if max_iterations * trip_ms <= 250.0:
+        # only converged_iters * trip_ms. 1 s cap (round 3; was 250 ms):
+        # merged-model solves at 1M obs cells ran 3 escalating segments,
+        # paying extra compiles + D2H downloads that cost more than the
+        # worst-case wasted trips
+        if max_iterations * trip_ms <= 1000.0:
             segment = max(int(max_iterations), 1)
         else:
             seg = max(int(40.0 / max(trip_ms, 1e-3)), 8)

@@ -442,6 +442,45 @@ def _load_extraction(store: ArtifactStore):
 # stage 3: feature matching + two-view geometry
 # ---------------------------------------------------------------------------
 
+def _bow_similarity(image_ids, desc, vocab_size: int = 128,
+                    sample_cap: int = 20000, per_image_cap: int = 512,
+                    seed: int = 1):
+    """(N, N) image-retrieval similarity from a TF-IDF bag-of-words over a
+    k-means mini-vocabulary of the collection's own SIFT descriptors — the
+    loop-closure candidate ranking (a vocabulary-tree-lite; the reference's
+    loop_detection flag is declared unsupported, colmap.proto:56-57).
+
+    Mean-pooled descriptors were measured non-discriminative (all-pairs
+    sim ~0.99 on repetitive texture); word histograms separate true
+    revisits by a clear margin (see PERFORMANCE.md round-3)."""
+    from scipy.cluster.vq import kmeans2
+
+    n_img = len(image_ids)
+    rng = np.random.default_rng(seed)
+    per_img = []
+    for r in range(n_img):
+        d = desc[image_ids[r]].astype(np.float32)[:per_image_cap]
+        n = np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-8)
+        per_img.append(d / n)
+    all_d = (np.concatenate(per_img) if per_img
+             else np.zeros((0, 128), np.float32))
+    if len(all_d) < 16:
+        return np.zeros((n_img, n_img), np.float32)
+    samp = all_d[rng.permutation(len(all_d))[:sample_cap]]
+    k = int(min(vocab_size, max(8, len(samp) // 4)))
+    cent, _ = kmeans2(samp, k, iter=12, seed=seed, minit="++")
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-8)
+    H = np.zeros((n_img, k), np.float32)
+    for r in range(n_img):
+        if len(per_img[r]):
+            w = np.argmax(per_img[r] @ cent.T, axis=1)
+            H[r] = np.bincount(w, minlength=k)
+    df = (H > 0).sum(axis=0)
+    Hw = H * np.log(n_img / np.maximum(df, 1))
+    Hw /= np.maximum(np.linalg.norm(Hw, axis=1, keepdims=True), 1e-8)
+    return Hw @ Hw.T
+
+
 def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                  schedule_slice: Optional[tuple] = None,
                  out_table: str = "matching"):
@@ -538,6 +577,63 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         pending = (pairs_blk, idx_dev)
     if pending is not None:
         drain_bank(*pending)
+
+    # ---- phase 2: loop-closure candidates (EXCEEDS reference: loop
+    # detection unsupported there, colmap.proto:56-57). Pooled-SIFT global
+    # descriptors rank non-window pairs; candidates are matched through
+    # mini-banks with the SAME compiled kernel and fall into the same
+    # verification gate below — a false candidate costs one RANSAC slot.
+    n_loop_pairs = 0
+    if m.loop_closure and n_img > 2:
+        sep = m.loop_min_separation or 2 * m.overlap
+        sim = _bow_similarity(image_ids, desc)
+        off = np.abs(np.arange(n_img)[:, None] - np.arange(n_img)[None, :])
+        sim[off <= sep] = -2.0             # window + self excluded
+        loop_pairs = set()
+        for a in range(n_img):
+            for b in np.argsort(-sim[a])[: m.loop_top_k]:
+                if sim[a, b] > max(m.loop_min_similarity, -1.5):
+                    loop_pairs.add((min(a, int(b)), max(a, int(b))))
+        loop_pairs -= set(sched)
+        n_loop_pairs = len(loop_pairs)
+
+        batch: list = []
+
+        def flush_loop_batch():
+            nonlocal batch
+            if not batch:
+                return
+            rows = sorted({r for p in batch for r in p})
+            Db = np.zeros((n_bank, K_max, 128), np.float32)
+            Vb = np.zeros((n_bank, K_max), bool)
+            for n, r in enumerate(rows):
+                d = desc[image_ids[r]].astype(np.float32)
+                Db[n, :len(d)] = d
+                Vb[n, :len(d)] = True
+            row_of = {r: n for n, r in enumerate(rows)}
+            NPL = 8
+            while NPL < len(batch):
+                NPL *= 2
+            ai = np.zeros(NPL, np.int32)
+            bi = np.zeros(NPL, np.int32)
+            for n, (a, b) in enumerate(batch):
+                ai[n], bi[n] = row_of[a], row_of[b]
+            idx_all = np.asarray(match_all(
+                jnp.asarray(Db), jnp.asarray(Vb),
+                jnp.asarray(ai), jnp.asarray(bi)))
+            for n, (a, b) in enumerate(batch):
+                sel = np.nonzero(idx_all[n] >= 0)[0]
+                if len(sel) >= m.min_num_inliers:
+                    cand.append((a, b, sel, idx_all[n]))
+            batch = []
+
+        for p in sorted(loop_pairs):
+            if len({p[0], p[1]} | {r for q in batch for r in q}) > n_bank:
+                flush_loop_batch()
+            batch.append(p)
+        flush_loop_batch()
+        log.info("matching: %d loop-closure candidates past the "
+                 "separation/rank gate", n_loop_pairs)
 
     # ---- phase 3: two-view geometries in fixed-size pair chunks ----------
     pair_ids, tvg_rows, match_lists = [], [], []
@@ -639,7 +735,12 @@ def _guided_rematch(m, image_ids, kp, desc, pair_ids, tvg_rows, match_lists,
     n_img = len(image_ids)
     by_bank: Dict[int, list] = {}
     for n, (ia, ib) in enumerate(pair_ids):
-        by_bank.setdefault(id_to_row[ia] // B, []).append(n)
+        blk = id_to_row[ia] // B
+        if id_to_row[ib] - blk * B >= n_bank:
+            # loop-closure pair whose partner lies outside the window bank:
+            # keep the original matches (the guided pass is upgrade-only)
+            continue
+        by_bank.setdefault(blk, []).append(n)
 
     def build_bank(s0):
         Db = np.zeros((n_bank, K_max, 128), np.float32)
@@ -800,7 +901,9 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             image_ids_r, kp_r, _, cameras_r = _load_extraction(store)
             graph_r, two_view_r = _build_graph(store, kp_r)
             model = iterative_global_refinement(
-                model, kp_r, cameras_r, graph_r, two_view_r, cfg.mapper)
+                model, kp_r, cameras_r, graph_r, two_view_r, cfg.mapper,
+                window=cfg.matching.overlap,
+                loop_gate_factor=cfg.merge.loop_refine_gate_factor)
             log.info("merge: iterative refinement -> %d images, %d points",
                      model.num_registered, len(model.points3D))
         else:

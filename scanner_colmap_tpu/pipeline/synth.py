@@ -20,8 +20,17 @@ from scanner_colmap_tpu.models import geometry as geom
 def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
                      height: int = 240, focal: float = 300.0,
                      num_blobs: int = 400, seed: int = 0,
-                     depth0: float = 8.0, depth_spread: float = 2.5):
-    """Render images of a 3D blob field. Returns ground-truth dict."""
+                     depth0: float = 8.0, depth_spread: float = 2.5,
+                     track: str = "arc"):
+    """Render images of a 3D blob field. Returns ground-truth dict.
+
+    track="arc" (default): one left-to-right pass.
+    track="out_and_back": the camera traverses the wall and RETURNS along
+    the same path (slightly jittered) — late frames revisit early frames'
+    views, so the collection contains genuine loop-closure pairs outside
+    any matching window while keeping the well-conditioned forward-facing
+    geometry (unlike the rotation-dominant cylinder of
+    generate_loop_dataset)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -42,7 +51,11 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
     # with the track, and blob count scales with wall area so feature
     # density per view stays constant.
     step = 0.055 * depth0
-    track_half = 0.5 * step * max(num_images - 1, 1)
+    # out_and_back covers the wall twice, so its spatial extent is half
+    n_span = max(num_images - 1, 1)
+    if track == "out_and_back":
+        n_span = max((num_images - 1) / 2.0, 1.0)
+    track_half = 0.5 * step * n_span
     span = track_half + 0.9 * depth0
     num_blobs = int(num_blobs * span / (0.9 * depth0))
     cx_ = rng.uniform(-span, span, num_blobs)
@@ -77,28 +90,60 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
 
     qs, ts = [], []
     for i in range(num_images):
-        # arc track looking inward
-        frac = i / max(num_images - 1, 1) - 0.5
-        yaw = -frac * 0.5
+        # arc track looking inward; out_and_back folds the parameter so the
+        # return leg revisits the same wall positions (with a different
+        # bob/yaw phase, so revisit poses are close but not identical)
+        u = i / max(num_images - 1, 1)
+        if track == "out_and_back":
+            u2 = 2.0 * u
+            frac = (u2 if u2 <= 1.0 else 2.0 - u2) - 0.5
+            yaw = -frac * 0.5 + 0.03 * np.sin(u2 * 2.3)
+            bob = 0.15 * np.sin(u2 * 3.7)
+        else:
+            frac = u - 0.5
+            yaw = -frac * 0.5
+            bob = 0.15 * np.sin(frac * 6)
         aa = np.array([0.0, yaw, 0.0])
         q = geom.np_angle_axis_to_quat(aa)
-        C = np.array([frac * 2 * track_half, 0.15 * np.sin(frac * 6), 0.0])
+        C = np.array([frac * 2 * track_half, bob, 0.0])
         t = -np.asarray(geom.np_quat_rotate(q, C))
         qs.append(q)
         ts.append(t)
 
-    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
-    cx, cy = width / 2.0, height / 2.0
+    _render_blob_frames(out_dir, pts, sizes, amps, signs, qs, ts,
+                        width, height, focal)
 
+    gt = {
+        "focal": focal, "width": width, "height": height,
+        "qvecs": [q.tolist() for q in qs],
+        "tvecs": [t.tolist() for t in ts],
+        "points": gt_points.tolist(),
+        # the analytic surface (dense-phase accuracy evaluation)
+        "surface": {"depth0": depth0, "depth_spread": depth_spread},
+    }
+    with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
+        json.dump(gt, f)
+    return gt
+
+
+def _render_blob_frames(out_dir, pts, sizes, amps, signs, qs, ts,
+                        width, height, focal):
+    """Splat the blob field into JPEG frames for the given camera poses.
+
+    JPEG with EXIF focal metadata, like real photos: exercises the
+    extraction stage's EXIF camera-prior path (reference
+    extraction_op.cc:49-55 reads EXIF focal length)."""
     from PIL import Image as PILImage
 
-    for i in range(num_images):
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    cx, cy = width / 2.0, height / 2.0
+    for i in range(len(qs)):
         x_cam = np.asarray(geom.np_pose_transform(qs[i], ts[i], pts))
         vis = x_cam[:, 2] > 1.0
-        u = focal * x_cam[:, 0] / x_cam[:, 2] + cx
-        v = focal * x_cam[:, 1] / x_cam[:, 2] + cy
+        u = focal * x_cam[:, 0] / np.where(vis, x_cam[:, 2], 1.0) + cx
+        v = focal * x_cam[:, 1] / np.where(vis, x_cam[:, 2], 1.0) + cy
         # perspective blob size
-        s_px = sizes * focal / x_cam[:, 2] / 40.0
+        s_px = sizes * focal / np.where(vis, x_cam[:, 2], 1.0) / 40.0
         img = np.full((height, width), 0.15)
         # vectorized candidate cull: at 1k-frame scale the wall holds ~50k
         # blobs and a python loop over all of them per frame dominates
@@ -114,20 +159,82 @@ def generate_dataset(out_dir: str, num_images: int = 12, width: int = 320,
                              + (yy[y0:y1, x0:x1] - v[b]) ** 2) / (2 * s * s))
             img[y0:y1, x0:x1] += signs[b] * amps[b] * patch
         img = np.clip(img, 0, 1)
-        # JPEG with EXIF focal metadata, like real photos: exercises the
-        # extraction stage's EXIF camera-prior path (reference
-        # extraction_op.cc:49-55 reads EXIF focal length).
         pil = PILImage.fromarray((img * 255).astype(np.uint8), "L").convert("RGB")
         pil.save(os.path.join(out_dir, f"image_{i:04d}.jpg"),
                  quality=95, exif=_camera_exif(focal, width))
 
+
+def generate_loop_dataset(out_dir: str, num_images: int = 48,
+                          width: int = 480, height: int = 360,
+                          focal: float = 300.0, num_blobs: int = 1200,
+                          seed: int = 0, radius: float = 8.0,
+                          cam_radius: float = 2.0,
+                          depth_spread: float = 1.2):
+    """Closed-circuit camera track: cameras on a circle of radius
+    ``cam_radius`` looking OUTWARD at a textured cylinder wall of radius
+    ``radius``. Frame 0 and frame N-1 observe the same wall sector, so the
+    collection contains a genuine loop — the constraint windowed matching
+    cannot represent (reference marks loop detection unsupported,
+    colmap.proto:56-57) and the one that bounds long-trajectory drift
+    (PERFORMANCE.md Known bounds). Returns the generate_dataset gt schema.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    depth = radius - cam_radius
+    y_half = depth * (0.5 * height / focal) * 1.4 + 0.2
+    theta = rng.uniform(0.0, 2 * np.pi, num_blobs)
+    ys = rng.uniform(-y_half, y_half, num_blobs)
+
+    def wall_r(th, y):
+        return radius + depth_spread * (
+            0.5 * np.sin(3.0 * th) * np.cos(0.35 * y) + 0.25 * np.sin(0.9 * y))
+
+    def wall_pt(th, y):
+        r = wall_r(th, y)
+        return np.stack([r * np.sin(th), y, r * np.cos(th)], axis=-1)
+
+    centers = wall_pt(theta, ys)
+    sub_pts, sub_sizes, sub_amps = [], [], []
+    dth_scale = 0.12 / 8.0 * radius / max(radius, 1e-6)  # ~constellation span
+    for b in range(num_blobs):
+        k = rng.integers(2, 5)
+        amp0 = rng.uniform(0.5, 1.0)
+        for mth in range(k):
+            if mth == 0:
+                th2, y2 = theta[b], ys[b]
+            else:
+                th2 = theta[b] + rng.uniform(-dth_scale, dth_scale)
+                y2 = ys[b] + rng.uniform(-0.12, 0.12)
+            sub_pts.append(wall_pt(np.asarray(th2), np.asarray(y2)))
+            sub_sizes.append(rng.uniform(3.0, 7.0) if mth == 0
+                             else rng.uniform(1.8, 4.0))
+            sub_amps.append(amp0 if mth == 0
+                            else rng.uniform(0.3, 0.9) * rng.choice([-1.0, 1.0]))
+    pts = np.asarray(sub_pts)
+    sizes = np.asarray(sub_sizes)
+    amps = np.abs(np.asarray(sub_amps))
+    signs = np.sign(np.asarray(sub_amps))
+
+    qs, ts = [], []
+    for i in range(num_images):
+        phi = 2 * np.pi * i / num_images
+        q = geom.np_angle_axis_to_quat(np.array([0.0, -phi, 0.0]))
+        C = np.array([cam_radius * np.sin(phi),
+                      0.1 * np.sin(3 * phi),
+                      cam_radius * np.cos(phi)])
+        t = -np.asarray(geom.np_quat_rotate(q, C))
+        qs.append(np.asarray(q))
+        ts.append(t)
+
+    _render_blob_frames(out_dir, pts, sizes, amps, signs, qs, ts,
+                        width, height, focal)
     gt = {
         "focal": focal, "width": width, "height": height,
         "qvecs": [q.tolist() for q in qs],
         "tvecs": [t.tolist() for t in ts],
-        "points": gt_points.tolist(),
-        # the analytic surface (dense-phase accuracy evaluation)
-        "surface": {"depth0": depth0, "depth_spread": depth_spread},
+        "points": centers.tolist(),
+        "loop": True,
     }
     with open(os.path.join(out_dir, "ground_truth.json"), "w") as f:
         json.dump(gt, f)

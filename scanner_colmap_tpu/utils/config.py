@@ -64,6 +64,18 @@ class MatchingConfig:
     # geometric-verification batch: pairs per device dispatch (bounds the
     # padded keypoint buffers at large pair counts)
     verify_batch_pairs: int = 1024
+    # ---- loop closure (EXCEEDS the reference: loop detection is marked
+    # unsupported there, colmap.proto:56-57). Candidates come from
+    # pooled-SIFT global-descriptor similarity (top-k non-window pairs per
+    # image); they are verified by the SAME RANSAC gate as window pairs,
+    # so false candidates cost only a verification slot. Loop edges enter
+    # the correspondence graph and the post-merge full-graph refinement,
+    # which is where they remove the drift the windowed pipeline cannot
+    # observe (PERFORMANCE.md Known bounds).
+    loop_closure: bool = False
+    loop_top_k: int = 3                 # candidate partners per image
+    loop_min_separation: int = 0        # 0 = auto (2 * overlap)
+    loop_min_similarity: float = 0.0    # 0 = rank-only candidate gate
 
 
 @dataclasses.dataclass
@@ -193,6 +205,11 @@ class MergeConfig:
     # switches to the matrix-free preconditioned-CG Schur path
     # (ops/ba._lm_trial_cg) — large merged models are refined, not skipped
     final_ba_max_images: int = 256
+    # when the graph carries loop edges (far outside the matching window),
+    # run ONE refinement round with reprojection gates/robust loss loosened
+    # by this factor first, so drifted cross-loop tracks survive long
+    # enough for the BA to pull the loop together (engine/merge.py)
+    loop_refine_gate_factor: float = 3.0
 
 
 @dataclasses.dataclass
