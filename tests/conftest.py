@@ -48,9 +48,12 @@ def pytest_configure(config):
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env["_SCT_TESTS_REEXEC"] = "1"
     # the clean process must NOT share a compile cache with axon-hooked
-    # processes (machine-feature mismatch, see header comment)
+    # processes (machine-feature mismatch, see header comment). The dir name
+    # is versioned: a poisoned/corrupted entry once SEGFAULTED the suite at
+    # cache-READ time (jax compilation_cache deserialization), and the only
+    # safe recovery is abandoning the dir
     if env.get("JAX_COMPILATION_CACHE_DIR") == "/tmp/jax_test_cache_axon":
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache_clean_v2"
     args = [sys.executable, "-m", "pytest"] + list(config.invocation_params.args)
     sys.stdout.flush()
     sys.stderr.flush()
@@ -59,6 +62,25 @@ def pytest_configure(config):
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_memory_maps():
+    """Drop jit executables after every test module.
+
+    The full suite compiles 1000+ CPU executables in one process; their
+    code pages accumulate memory MAPPINGS until the process hits
+    vm.max_map_count (default 65530 — measured 62k+ maps at the ~90%
+    mark), at which point the next XLA compile/serialize mmap fails and
+    SEGFAULTS (4/4 reproductions at the same late module; either half of
+    the suite alone passes). Modules rarely share jit signatures, so
+    clearing between modules costs little and keeps the map count
+    bounded."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 
 
 @pytest.fixture
