@@ -1186,9 +1186,21 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                                  min(n, ref + S // 2 + S % 2 + 1))
                 if s != ref][:S]
 
-    def build_problem(ref):
+    # coarse canvas for the coarse-to-fine first pass (half res, 32-aligned)
+    ch2 = _round_up((canvas_h + 1) // 2, 32)
+    cw2 = _round_up((canvas_w + 1) // 2, 32)
+
+    def _half(bm):
+        h2, w2 = bm.shape[0] // 2, bm.shape[1] // 2
+        return 0.25 * (bm[: 2 * h2 : 2, : 2 * w2 : 2]
+                       + bm[1 : 2 * h2 : 2, : 2 * w2 : 2]
+                       + bm[: 2 * h2 : 2, 1 : 2 * w2 : 2]
+                       + bm[1 : 2 * h2 : 2, 1 : 2 * w2 : 2])
+
+    def build_problem(ref, ds=1):
+        CH, CW = (canvas_h, canvas_w) if ds == 1 else (ch2, cw2)
         srcs = window(ref)
-        src_imgs = np.zeros((S, canvas_h, canvas_w), np.float32)
+        src_imgs = np.zeros((S, CH, CW), np.float32)
         Ks = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
         Rs = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
         ts = np.zeros((S, 3), np.float32)
@@ -1198,20 +1210,31 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             # ragged column); crop to the valid region before re-padding
             h_s, w_s = int(tab["height"][s]), int(tab["width"][s])
             bm = np.asarray(tab["bitmap"][s])[:h_s, :w_s]
+            if ds == 2:
+                bm = _half(bm)
             src_imgs[si, :bm.shape[0], :bm.shape[1]] = bm
             Ks[si] = Km[s]
+            if ds == 2:
+                Ks[si] = Ks[si].copy()
+                Ks[si][:2, :] *= 0.5
             # relative pose ref cam -> src cam: R_rel = R_s R_r^T etc.
             Rs[si] = Rm[s] @ Rm[ref].T
             ts[si] = Tm[s] - Rs[si] @ Tm[ref]
             src_valid[si] = True
         h_r, w_r = int(tab["height"][ref]), int(tab["width"][ref])
         ref_bm = np.asarray(tab["bitmap"][ref])[:h_r, :w_r]
-        ref_img = np.zeros((canvas_h, canvas_w), np.float32)
+        if ds == 2:
+            ref_bm = _half(ref_bm)
+        ref_img = np.zeros((CH, CW), np.float32)
         ref_img[:ref_bm.shape[0], :ref_bm.shape[1]] = ref_bm
+        K_ref = Km[ref]
+        if ds == 2:
+            K_ref = K_ref.copy()
+            K_ref[:2, :] *= 0.5
         return pm_ops.PatchMatchProblem(
             ref_image=jnp.asarray(ref_img),
             src_images=jnp.asarray(src_imgs),
-            K_ref=jnp.asarray(Km[ref]),
+            K_ref=jnp.asarray(K_ref),
             K_src=jnp.asarray(Ks),
             R=jnp.asarray(Rs), t=jnp.asarray(ts),
             depth_min=jnp.asarray(np.float32(tab["depth_min"][ref])),
@@ -1219,7 +1242,7 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             src_valid=jnp.asarray(src_valid))
 
     def run_pass(depth_bank=None, normal_bank=None, cost_bank=None,
-                 refs=None, pass_idx=0):
+                 refs=None, pass_idx=0, ds=1, iters=None, init_banks=None):
         """One sweep over all ref images. With banks (canvas-res pass-1
         results), runs the geom-consistency pass: source depth maps feed
         the forward-backward term, pass-1 depth/normal warm-start.
@@ -1260,13 +1283,17 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                               max_geom_error=pm.max_geom_error,
                               init_depth=jnp.asarray(depth_bank[ref]),
                               init_normal=jnp.asarray(normal_bank[ref]))
-            problem = build_problem(ref)
+            elif init_banks is not None and init_banks[0][ref] is not None:
+                # coarse-to-fine warm start (upsampled half-res field)
+                kwargs = dict(init_depth=jnp.asarray(init_banks[0][ref]),
+                              init_normal=jnp.asarray(init_banks[1][ref]))
+            problem = build_problem(ref, ds)
             # per-ref key by fold_in, NOT sequential splits: depth maps stay
             # bitwise identical regardless of host sharding / ref subsets
             k = jax.random.fold_in(jax.random.fold_in(key, pass_idx), ref)
             try:
                 depth, normal, cost = pm_ops.patch_match(
-                    k, problem, num_iterations=pm.num_iterations,
+                    k, problem, num_iterations=iters or pm.num_iterations,
                     window_radius=pm.window_radius,
                     sigma_spatial=pm.sigma_spatial,
                     sigma_color=pm.sigma_color,
@@ -1289,7 +1316,25 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             drain(*item)
         return d_out, n_out, c_out
 
-    d_bank, n_bank, c_bank = run_pass(refs=compute)
+    if pm.coarse_to_fine:
+        # half-res pass with the full sweep budget (each Jacobi sweep
+        # reaches 2x the full-res pixels), then a short full-res refinement
+        # from the upsampled field
+        dc, nc, _ = run_pass(refs=compute, ds=2, pass_idx=2)
+        d_init = [None] * n
+        n_init = [None] * n
+        for r in range(n):
+            if dc[r] is None:
+                continue
+            d_init[r] = np.repeat(np.repeat(dc[r], 2, 0), 2, 1)[
+                :canvas_h, :canvas_w]
+            n_init[r] = np.repeat(np.repeat(nc[r], 2, 0), 2, 1)[
+                :canvas_h, :canvas_w]
+        d_bank, n_bank, c_bank = run_pass(refs=compute,
+                                          iters=pm.fine_iterations,
+                                          init_banks=(d_init, n_init))
+    else:
+        d_bank, n_bank, c_bank = run_pass(refs=compute)
     if pm.geom_consistency:
         # COLMAP's second PatchMatch pass: photometric + geometric cost
         d_bank, n_bank, c_bank = run_pass(d_bank, n_bank, c_bank, refs=core,
