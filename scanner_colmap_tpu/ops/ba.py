@@ -816,14 +816,15 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
         if rel_drop < segment_improvement_tol:
             break
         # continue from the segment's solution: carry the adapted damping
-        # (restarting at lambda=1e-4 wasted iterations re-adapting) and
-        # escalate the segment size — a solve that survived one full
-        # segment is a long solve, so amortize the next round trip
+        # (restarting at lambda=1e-4 wasted iterations re-adapting). The
+        # segment size stays CONSTANT: escalating (8 -> 16 -> 32) compiled
+        # THREE program sizes per shape bucket — ~20 s of one-time remote
+        # compile each at merged-model shapes — to save two ~50 ms round
+        # trips; one compiled size per bucket wins on every cold path
         cam = out[: M * 9].reshape(M, 9)
         cam_in[:, 0:9] = cam
         pt_in[:, 0:3] = out[M * 9: M * 9 + P * 3].reshape(P, 3)
         scal[3] = max(float(stats[5]), 1e-10)
-        seg = min(seg * 2, 64)
     out = out.copy()
     out[M * 9 + P * 3 + 0] = initial_cost
     out[M * 9 + P * 3 + 2] = total_used
