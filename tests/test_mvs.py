@@ -262,3 +262,23 @@ def test_patch_match_geom_consistency_pass(rng):
     c_good = patch_match.plane_costs(problem, d2, n2,
                                      src_depths=src_depths)
     assert float(jnp.median(c_bad[sl])) > float(jnp.median(c_good[sl]))
+
+
+def test_patch_match_warm_start_converges_with_few_sweeps(rng):
+    """The coarse-to-fine contract at the op level: a solve warm-started
+    from a (noisy) near-solution field needs only a few sweeps to match
+    the from-scratch accuracy — this is what the stage's half-res pass
+    provides (stages.run_patch_match coarse_to_fine)."""
+    problem, gt_depth = make_plane_scene(rng)
+    H, W = gt_depth.shape
+    init_d = jnp.asarray(gt_depth * (1.0 + 0.03 * rng.standard_normal((H, W))),
+                         jnp.float32)
+    init_n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                              (H, W, 3))
+    depth, _, _ = patch_match.patch_match(
+        jax.random.PRNGKey(0), problem, num_iterations=3, window_radius=5,
+        init_depth=init_d, init_normal=init_n)
+    depth = np.asarray(depth)
+    sl = (slice(8, H - 8), slice(8, W - 8))
+    rel = np.abs(depth[sl] - gt_depth[sl]) / gt_depth[sl]
+    assert np.median(rel) < 0.025, np.median(rel)
