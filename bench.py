@@ -7,18 +7,26 @@ geometry + clustered incremental mapping with BA — the end-to-end number
 the north star asks for (BASELINE.json). Secondary metrics (BA iter/s,
 matching pairs/s, ATE) are included in the JSON for the record.
 
-vs_baseline: the reference publishes no numbers (SURVEY §6); BASELINE.md's
-target is >= 3x COLMAP-CPU end-to-end throughput. We use COLMAP-CPU's
-commonly observed ~0.5 images/s on ~100-image collections (sparse, single
-node, all stages) as the nominal baseline, so vs_baseline = value / 0.5.
-The constant is corroborated by a same-code measurement: THIS pipeline on
-the machine's 2-vCPU host runs 0.57 img/s warm at the identical 16-image
-config (PERFORMANCE.md lever 32), so the multiplier is within ~15% of a
-measured same-workload CPU-vs-TPU comparison.
+vs_baseline: MEASURED same-code CPU baseline — THIS pipeline on the
+machine's 2-vCPU host runs 0.57 img/s warm at the identical 16-image
+config (PERFORMANCE.md lever 32), so vs_baseline = value / 0.57 is a
+same-workload CPU-vs-TPU multiplier. The nominal COLMAP-CPU constant
+(~0.5 images/s on ~100-image collections, sparse, single node — the
+reference publishes no numbers, SURVEY §6) is kept as the secondary
+field vs_nominal_colmap_cpu = value / 0.5 (BASELINE.md target: >= 3x).
+
+Error bars (round 4): the tunneled link's latency fluctuates +-40%
+between windows, so the headline sparse pass and the BA/dense timed
+sections each run BENCH_TRIALS (default 3) times; the JSON reports
+median plus {min, max, n_trials} per metric and flags >25% regressions
+against the previous round's recorded medians.
 """
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import tempfile
 import time
@@ -26,6 +34,57 @@ import time
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _regression_check(images_per_s, ba_sustained, ba_spread, dense):
+    """Compare this run's medians against the previous round's recorded
+    BENCH_r*.json and flag >25% drops (VERDICT r3 #3). Also renders a
+    one-line verdict on the r02->r03 sustained-BA drop (562 -> 364 iters/s)
+    using the spread measured THIS run: if the trial band is wider than
+    that drop, single-trial rounds could not distinguish it from link
+    noise."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    out = {"vs": None, "flags": []}
+    if prev_files:
+        path = prev_files[-1]
+        out["vs"] = os.path.basename(path)
+        try:
+            with open(path) as f:
+                prev = json.load(f).get("parsed", {})
+            checks = [
+                ("sparse_images_per_s", images_per_s,
+                 prev.get("value")),
+                ("ba_iters_per_sec_sustained", ba_sustained,
+                 prev.get("detail", {}).get("ba_iters_per_sec_sustained")),
+                ("dense_depth_maps_per_s",
+                 (dense or {}).get("depth_maps_per_s"),
+                 prev.get("detail", {}).get("dense", {})
+                     .get("depth_maps_per_s")),
+            ]
+            for name, new, old in checks:
+                if new is None or old is None or old <= 0:
+                    continue
+                if new < 0.75 * old:
+                    out["flags"].append(
+                        f"{name}: {new:.2f} < 75% of {out['vs']} "
+                        f"median {old:.2f}")
+        except Exception as e:
+            out["flags"].append(f"previous-round parse failed: {e!r}")
+    if ba_spread and ba_spread["min"] > 0:
+        band = ba_spread["max"] / ba_spread["min"] - 1.0
+        drop = (562.0 - 364.0) / 562.0  # the questioned r02->r03 delta
+        within = band >= drop
+        out["r03_ba_drop_verdict"] = (
+            f"r02=562 -> r03=364 iters/s ({drop:.0%} drop); this run's "
+            f"{ba_spread['n_trials']}-trial band is "
+            f"[{ba_spread['min']:.0f}, {ba_spread['max']:.0f}] "
+            f"({band:.0%} wide) — the historical drop "
+            f"{'IS within single-link-trial variance (tunnel noise, not a '
+               'code regression)' if within else
+               'EXCEEDS the observed trial variance (likely a real change)'}")
+    return out
 
 
 def main():
@@ -71,27 +130,30 @@ def main():
     # loads (one-time per process), the second pass times steady state —
     # the production number, since a deployment amortizes compiles across
     # thousands of images. Cold-pass times are reported in detail.
+    n_trials = max(int(os.environ.get("BENCH_TRIALS", "3")), 1)
     cold = {}
-    timed = {}
+    stage_trials = {}      # name -> [t_trial0, t_trial1, ...]
+    timed = {}             # name -> median
     n_pairs = 0
-    for name, fn in [("extraction", stages.run_extraction),
-                     ("matching", stages.run_matching),
-                     ("mapping", stages.run_mapping),
-                     ("merge", stages.run_merge)]:
+    stage_list = [("extraction", stages.run_extraction),
+                  ("matching", stages.run_matching),
+                  ("mapping", stages.run_mapping),
+                  ("merge", stages.run_merge)]
+    for name, fn in stage_list:
         log(f"{name} (warmup)")
         t0 = time.time()
         out = fn(cfg, store)
         cold[name] = time.time() - t0
-        # two timed passes, take the min: the tunneled link's latency
+        # N timed passes (median reported): the tunneled link's latency
         # fluctuates +-40% between windows and steady-state is the
         # production number a co-located deployment sees
-        best = float("inf")
-        for rep in range(2):
-            log(f"{name} (timed {rep + 1})")
+        stage_trials[name] = []
+        for rep in range(n_trials):
+            log(f"{name} (timed {rep + 1}/{n_trials})")
             t0 = time.time()
             out = fn(cfg, store)
-            best = min(best, time.time() - t0)
-        timed[name] = best
+            stage_trials[name].append(time.time() - t0)
+        timed[name] = statistics.median(stage_trials[name])
         if name == "matching":
             n_pairs = out
     model = out  # run_merge returns the merged model
@@ -100,8 +162,16 @@ def main():
     n_reg = model.num_registered
     t_extract, t_match = timed["extraction"], timed["matching"]
     t_map = timed["mapping"] + timed["merge"]
-    total_t = t_extract + t_match + t_map
-    images_per_s = n_reg / max(total_t, 1e-9)
+    # per-trial end-to-end throughput (trial r = sum of each stage's r-th
+    # timed pass) -> median + spread for the headline
+    trial_tp = [n_reg / max(sum(stage_trials[n][r] for n, _ in stage_list),
+                            1e-9)
+                for r in range(n_trials)]
+    images_per_s = statistics.median(trial_tp)
+    headline_spread = {"median": round(images_per_s, 3),
+                       "min": round(min(trial_tp), 3),
+                       "max": round(max(trial_tp), 3),
+                       "n_trials": n_trials}
     ate = synth.evaluate_ate(model, gt)
 
     # ---- utilization: achieved fraction of the chip's matmul peak --------
@@ -155,33 +225,45 @@ def main():
     from scanner_colmap_tpu.ops import ba
 
     params, obs, cfg_ba, _, _ = _synthetic_bundle(M=16, Pn=1024, T=16)
-    # warmup pays the compile; the timed pass measures steady-state solve rate
+    # warmup pays the compile; the timed passes measure steady-state rate.
+    # Sync via a scalar download (float(...)) — block_until_ready is lazy
+    # on some remote backends.
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
                                    chunk=1024, function_tolerance=0.0)
-    jax.block_until_ready(p_out.xyz)
-    t0 = time.time()
-    p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
-                                   chunk=1024, function_tolerance=0.0)
-    jax.block_until_ready(p_out.xyz)
-    ba_iters_per_s = int(info["iterations"]) / max(time.time() - t0, 1e-9)
-    log(f"BA: {ba_iters_per_s:.2f} iters/s")
+    float(info["final_cost"])
+    ba_trials = []
+    for _ in range(n_trials):
+        t0 = time.time()
+        p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=25,
+                                       chunk=1024, function_tolerance=0.0)
+        float(info["final_cost"])
+        ba_trials.append(int(info["iterations"]) / max(time.time() - t0, 1e-9))
+    ba_iters_per_s = statistics.median(ba_trials)
+    log(f"BA: {ba_iters_per_s:.2f} iters/s (trials {ba_trials})")
     # sustained device rate: one 512-trip program amortizes the link latency
-    # that dominates the realistic-solve number above. Sync via a scalar
-    # download — block_until_ready is lazy on some remote backends.
+    # that dominates the realistic-solve number above.
     # iterations reports APPLIED trips only — converged trips are skipped
     # device-side (lax.cond) and must not inflate the rate
     p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
                                    chunk=1024, function_tolerance=0.0)
     float(info["final_cost"])
-    t0 = time.time()
-    p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
-                                   chunk=1024, function_tolerance=0.0)
-    n_applied = float(info["iterations"])
-    t_ba = max(time.time() - t0, 1e-9)
-    ba_sustained = n_applied / t_ba
-    log(f"BA sustained: {ba_sustained:.0f} iters/s")
-    ba_tflops = (flops_acct.ba_flops_per_iter(16, 1024, 16) * n_applied
-                 / t_ba / 1e12)
+    sus_trials = []
+    for _ in range(n_trials):
+        t0 = time.time()
+        p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
+                                       chunk=1024, function_tolerance=0.0)
+        float(info["final_cost"])
+        n_applied = float(info["iterations"])
+        sus_trials.append(n_applied / max(time.time() - t0, 1e-9))
+    ba_sustained = statistics.median(sus_trials)
+    ba_spread = {"median": round(ba_sustained, 1),
+                 "min": round(min(sus_trials), 1),
+                 "max": round(max(sus_trials), 1),
+                 "n_trials": n_trials}
+    log(f"BA sustained: {ba_sustained:.0f} iters/s (trials "
+        f"{[round(x) for x in sus_trials]})")
+    ba_tflops = (flops_acct.ba_flops_per_iter(16, 1024, 16) * ba_sustained
+                 / 1e12)
     util["ba_achieved_tflops"] = round(ba_tflops, 3)
     util["ba_frac_of_peak"] = (round(ba_tflops / peak_tflops, 4)
                                if peak_tflops else None)
@@ -256,13 +338,17 @@ def main():
             stages.run_prepare_patch_match(cfg, store)
             stages.run_patch_match(cfg, store)
             n_fused = stages.run_fusion(cfg, store)
-            log("dense (timed)")
-            t0 = time.time()
-            n_maps = stages.run_patch_match(cfg, store)
-            t_pm = time.time() - t0
-            t0 = time.time()
-            n_fused = stages.run_fusion(cfg, store)
-            t_fuse = time.time() - t0
+            pm_trials, fuse_trials = [], []
+            for rep in range(n_trials):
+                log(f"dense (timed {rep + 1}/{n_trials})")
+                t0 = time.time()
+                n_maps = stages.run_patch_match(cfg, store)
+                pm_trials.append(time.time() - t0)
+                t0 = time.time()
+                n_fused = stages.run_fusion(cfg, store)
+                fuse_trials.append(time.time() - t0)
+            t_pm = statistics.median(pm_trials)
+            t_fuse = statistics.median(fuse_trials)
             # gather-tap rate (the stage's budget on TPU; see utils/flops.py)
             pm_h = cfg.patch_match.max_image_size * 3 // 4  # 4:3 bench frames
             taps = flops_acct.patch_match_taps(
@@ -278,6 +364,11 @@ def main():
                 "fused_points": int(n_fused),
                 "patch_match_s": round(t_pm, 2),
                 "fusion_s": round(t_fuse, 2),
+                "depth_maps_per_s_spread": {
+                    "median": round(n_maps / max(t_pm, 1e-9), 2),
+                    "min": round(n_maps / max(max(pm_trials), 1e-9), 2),
+                    "max": round(n_maps / max(min(pm_trials), 1e-9), 2),
+                    "n_trials": n_trials},
                 "surface_err_median_rel": round(acc["median_rel"], 5),
                 "surface_err_p90_rel": round(acc["p90_rel"], 5),
             }
@@ -440,14 +531,24 @@ def main():
     except Exception as e:  # keep the headline result
         log(f"optional bench section failed: {e!r}")
 
-    baseline_images_per_s = 0.5  # nominal COLMAP-CPU e2e sparse (see docstring)
+    measured_cpu_baseline = 0.57  # same-code 2-vCPU host (see docstring)
+    nominal_colmap_cpu = 0.5      # nominal COLMAP-CPU constant (secondary)
+    regression = _regression_check(images_per_s, ba_sustained, ba_spread,
+                                   dense)
     result = {
         "metric": "sparse_pipeline_images_registered_per_sec",
         "value": round(images_per_s, 3),
         "unit": "images/s",
-        "vs_baseline": round(images_per_s / baseline_images_per_s, 2),
+        "vs_baseline": round(images_per_s / measured_cpu_baseline, 2),
         "detail": {
             "num_images": num_images,
+            "vs_baseline_note": ("measured same-code 2-vCPU host baseline "
+                                 "0.57 img/s (PERFORMANCE.md lever 32)"),
+            "vs_nominal_colmap_cpu": round(
+                images_per_s / nominal_colmap_cpu, 2),
+            "value_spread": headline_spread,
+            "ba_iters_per_sec_sustained_spread": ba_spread,
+            "regression_check": regression,
             "registered": int(n_reg),
             "ate": round(float(ate), 4),
             "mean_reproj_px": round(model.mean_reprojection_error(), 3),

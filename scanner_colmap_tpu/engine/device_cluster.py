@@ -325,7 +325,12 @@ def _prepare_cluster(keypoints: Dict[int, np.ndarray], cameras: Dict,
     cam_in[lb, 15] = 0.0
 
     # --- schedule ---------------------------------------------------------
-    if getattr(cfg, "device_schedule", "visible_points") == "visible_points":
+    schedule = getattr(cfg, "device_schedule", "visible_points")
+    if schedule not in ("visible_points", "connectivity"):
+        raise ValueError(
+            f"mapper.device_schedule must be 'visible_points' or "
+            f"'connectivity', got {schedule!r}")
+    if schedule == "visible_points":
         rest = _registration_order_tracks(n, tr_img, la, lb)
     else:
         rest = _registration_order(members, graph, a, b)

@@ -613,15 +613,26 @@ class IncrementalMapper:
             # Evenly-spaced-in-image-order samples keep the extreme
             # baselines (images are trajectory-ordered), and an
             # UNDER-estimated max angle only filters more aggressively —
-            # never keeps a point COLMAP's exact rule would drop.
+            # never keeps a point COLMAP's exact rule would drop. Each
+            # track's FIRST and LAST registered observation are always in
+            # the sample (first lands first-in-slot; last is taken as the
+            # slot-(S-1) representative) so the widest trajectory baseline
+            # — e.g. the two legs of a loop-closure track — bounds the
+            # under-estimate (ADVICE r3).
             S = 8
             if T > S:
                 cnt = counts[op_s]
                 slot = (pos * S + S - 1) // np.maximum(cnt, 1)
                 first = np.ones(len(pos), bool)
                 first[1:] = (op_s[1:] != op_s[:-1]) | (slot[1:] != slot[:-1])
-                op_s, oi_s = op_s[first], oi_s[first]
-                pos = slot[first]
+                lastg = np.ones(len(pos), bool)   # last element of its track
+                lastg[:-1] = op_s[1:] != op_s[:-1]
+                # a track's last obs has pos=cnt-1 -> slot S-1 exactly, so
+                # (first-in-slot for slots < S-1) + (track-last for S-1)
+                # keeps one element per (point, slot) with no collisions
+                keep = (first & (slot != S - 1)) | lastg
+                op_s, oi_s = op_s[keep], oi_s[keep]
+                pos = slot[keep]
                 T = S
             rays = np.zeros((Np, T, 3), np.float32)
             mask = np.zeros((Np, T), bool)

@@ -304,7 +304,8 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
 def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
                                 graph, two_view, mapper_cfg,
                                 window: int = 10,
-                                loop_gate_factor: float = 3.0
+                                loop_gate_factor: float = 3.0,
+                                loop_separation: int = 0
                                 ) -> Reconstruction:
     """COLMAP IterativeGlobalRefinement over the MERGED model with the FULL
     correspondence graph (incremental_mapping.cc:116-139 semantics — the
@@ -357,7 +358,13 @@ def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
     # loop_gate_factor lets retriangulation CREATE the cross-loop tracks and
     # the robust BA pull the loop together; the normal rounds then re-filter
     # at full strictness.
-    has_loops = any(abs(int(i) - int(j)) > 2 * window for (i, j) in two_view)
+    # loop edge iff the offset exceeds the separation the MATCHING stage
+    # used for loop candidates (loop_min_separation or 2*overlap) AND the
+    # widest actual window offset (quadratic_overlap schedules pairs at
+    # offsets up to 2^(overlap-1), which must not falsely trigger this) —
+    # ADVICE r3: recomputing 2*window here disagreed with both.
+    sep = max(loop_separation if loop_separation > 0 else 2 * window, window)
+    has_loops = any(abs(int(i) - int(j)) > sep for (i, j) in two_view)
     if has_loops and loop_gate_factor > 1.0:
         import dataclasses as _dc
 

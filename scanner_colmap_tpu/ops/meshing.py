@@ -117,7 +117,7 @@ def fuse_tsdf(inp: FusionInput, origin, voxel: float, dims,
     # normalization keyed off the INPUT dtype, not the data range: integer
     # imagery is 0-255 even when uniformly dark (a max<=1 uint8 frame must
     # not be mistaken for already-normalized floats)
-    if np.issubdtype(np.asarray(inp.colors).dtype, np.integer):
+    if np.issubdtype(inp.colors.dtype, np.integer):
         colors = colors / 255.0
     trunc = float(trunc_voxels) * float(voxel)
     tsdf, w, c = _tsdf_scan(

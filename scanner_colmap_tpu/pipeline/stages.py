@@ -442,13 +442,16 @@ def _load_extraction(store: ArtifactStore):
 # stage 3: feature matching + two-view geometry
 # ---------------------------------------------------------------------------
 
-def _bow_similarity(image_ids, desc, vocab_size: int = 128,
-                    sample_cap: int = 20000, per_image_cap: int = 512,
-                    seed: int = 1):
-    """(N, N) image-retrieval similarity from a TF-IDF bag-of-words over a
-    k-means mini-vocabulary of the collection's own SIFT descriptors — the
+def _bow_embedding(image_ids, desc, vocab_size: int = 128,
+                   sample_cap: int = 20000, per_image_cap: int = 512,
+                   seed: int = 1):
+    """(N, k) L2-normalized TF-IDF bag-of-words embeddings over a k-means
+    mini-vocabulary of the collection's own SIFT descriptors — the
     loop-closure candidate ranking (a vocabulary-tree-lite; the reference's
     loop_detection flag is declared unsupported, colmap.proto:56-57).
+    Similarity between images a,b is ``Hw[a] @ Hw[b]``; candidate retrieval
+    is done blockwise (``_loop_candidates``) so no dense (N, N) matrix is
+    ever materialized — O(block*N) host memory at 10k-image scale.
 
     Mean-pooled descriptors were measured non-discriminative (all-pairs
     sim ~0.99 on repetitive texture); word histograms separate true
@@ -465,7 +468,7 @@ def _bow_similarity(image_ids, desc, vocab_size: int = 128,
     all_d = (np.concatenate(per_img) if per_img
              else np.zeros((0, 128), np.float32))
     if len(all_d) < 16:
-        return np.zeros((n_img, n_img), np.float32)
+        return None
     samp = all_d[rng.permutation(len(all_d))[:sample_cap]]
     k = int(min(vocab_size, max(8, len(samp) // 4)))
     cent, _ = kmeans2(samp, k, iter=12, seed=seed, minit="++")
@@ -478,7 +481,41 @@ def _bow_similarity(image_ids, desc, vocab_size: int = 128,
     df = (H > 0).sum(axis=0)
     Hw = H * np.log(n_img / np.maximum(df, 1))
     Hw /= np.maximum(np.linalg.norm(Hw, axis=1, keepdims=True), 1e-8)
+    return Hw
+
+
+def _bow_similarity(image_ids, desc, **kw):
+    """Dense (N, N) similarity — kept for small-N callers/tests; large
+    collections should use _loop_candidates (blockwise top-k)."""
+    Hw = _bow_embedding(image_ids, desc, **kw)
+    if Hw is None:  # too few descriptors to build a vocabulary
+        return np.zeros((len(image_ids), len(image_ids)), np.float32)
     return Hw @ Hw.T
+
+
+def _loop_candidates(Hw, sep: int, top_k: int, min_sim: float,
+                     block: int = 256):
+    """Top-k non-window retrieval per image from BoW embeddings, computed
+    in row blocks: O(block*N) memory instead of the dense (N, N) matrix
+    (ADVICE r3: dense + per-row argsort was ~400 MB + O(N^2 log N) at 10k).
+    Returns a set of (a, b) pairs with a < b and |a - b| > sep."""
+    n_img = Hw.shape[0]
+    pairs: set = set()
+    floor = max(min_sim, -1.5)
+    cols = np.arange(n_img)
+    for s in range(0, n_img, block):
+        e = min(s + block, n_img)
+        sim = Hw[s:e] @ Hw.T                      # (block, N)
+        off = np.abs(np.arange(s, e)[:, None] - cols[None, :])
+        sim[off <= sep] = -2.0                    # window + self excluded
+        k = min(top_k, n_img)
+        idx = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        for r in range(e - s):
+            a = s + r
+            for b in idx[r]:
+                if sim[r, b] > floor:
+                    pairs.add((min(a, int(b)), max(a, int(b))))
+    return pairs
 
 
 def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
@@ -586,14 +623,12 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     n_loop_pairs = 0
     if m.loop_closure and n_img > 2:
         sep = m.loop_min_separation or 2 * m.overlap
-        sim = _bow_similarity(image_ids, desc)
-        off = np.abs(np.arange(n_img)[:, None] - np.arange(n_img)[None, :])
-        sim[off <= sep] = -2.0             # window + self excluded
-        loop_pairs = set()
-        for a in range(n_img):
-            for b in np.argsort(-sim[a])[: m.loop_top_k]:
-                if sim[a, b] > max(m.loop_min_similarity, -1.5):
-                    loop_pairs.add((min(a, int(b)), max(a, int(b))))
+        Hw = _bow_embedding(image_ids, desc)
+        if Hw is None:
+            loop_pairs = set()
+        else:
+            loop_pairs = _loop_candidates(
+                Hw, sep, m.loop_top_k, m.loop_min_similarity)
         loop_pairs -= set(sched)
         n_loop_pairs = len(loop_pairs)
 
@@ -900,10 +935,15 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
             image_ids_r, kp_r, _, cameras_r = _load_extraction(store)
             graph_r, two_view_r = _build_graph(store, kp_r)
+            m_cfg = cfg.matching
+            win_max = (1 << max(m_cfg.overlap - 1, 0)
+                       if m_cfg.quadratic_overlap else m_cfg.overlap)
             model = iterative_global_refinement(
                 model, kp_r, cameras_r, graph_r, two_view_r, cfg.mapper,
-                window=cfg.matching.overlap,
-                loop_gate_factor=cfg.merge.loop_refine_gate_factor)
+                window=win_max,
+                loop_gate_factor=cfg.merge.loop_refine_gate_factor,
+                loop_separation=(m_cfg.loop_min_separation
+                                 or 2 * m_cfg.overlap))
             log.info("merge: iterative refinement -> %d images, %d points",
                      model.num_registered, len(model.points3D))
         else:
