@@ -27,6 +27,10 @@ from scanner_colmap_tpu.utils.config import MapperConfig, MergeConfig
 
 log = logging.getLogger(__name__)
 
+# timing/FLOP accounting of the most recent device-mode run (filled by
+# run_clustered_mapping; read by the mapping stage for its manifest meta)
+LAST_MAPPING_STATS: dict = {}
+
 
 def make_clusters(image_ids: Sequence[int], cluster_size: int,
                   cluster_overlap: int) -> List[List[int]]:
@@ -101,24 +105,31 @@ def run_clustered_mapping(
     submodels are dropped (the role of the reference's
     remove_empty_reconstruction.py stage).
     """
+    import time as _time
+
     cfg = config or MapperConfig()
     ids = sorted(keypoints.keys())
     clusters = make_clusters(ids, cfg.cluster_size, cfg.cluster_overlap)
 
     if cfg.mode == "device":
+        from scanner_colmap_tpu.engine import device_cluster as dc
         from scanner_colmap_tpu.engine.device_cluster import (
             map_cluster_device, map_clusters_device_batch)
 
+        dc.SHAPE_LOG.clear()
+        t_start = _time.time()
         if cfg.device_batch_clusters and len(clusters) > 1:
-            # ALL clusters as ONE vmapped device program (the leading axis
-            # is the cluster) — C dispatches collapse to one and the small
-            # per-cluster ops batch up (engine/device_cluster.py)
+            # clusters grouped by shape bucket, chunked, each chunk one
+            # vmapped device program (engine/device_cluster.py)
             args = []
             for ci, members in enumerate(clusters):
                 g, tv = subgraph(graph, two_view, members)
                 args.append(({i: keypoints[i] for i in members},
                              {i: cameras[i] for i in members}, g, tv, ci))
+            t_prep = _time.time() - t_start
+            t0 = _time.time()
             recs = map_clusters_device_batch(args, cfg)
+            t_await = _time.time() - t0
         else:
             # single-program-per-cluster mapper: dispatch every cluster's
             # device call first (async), then await — the clusters pipeline
@@ -130,7 +141,25 @@ def run_clustered_mapping(
                     {i: keypoints[i] for i in members},
                     {i: cameras[i] for i in members}, g, tv, cfg, seed=ci,
                     block=False))
+            t_prep = _time.time() - t_start
+            t0 = _time.time()
             recs = [finish() for finish in pending]
+            t_await = _time.time() - t0
+        # utilization accounting: scheduled device FLOPs (upper bound —
+        # converged LM trips cond-skip) over the stage's device window
+        from scanner_colmap_tpu.utils import flops as _fl
+
+        sched_fl = sum(_fl.device_mapper_flops(
+            M, P, T, n, cfg.device_ba_iters_per_step,
+            cfg.device_final_ba_iters, cfg.device_pnp_trials)
+            for (M, P, T, n) in dc.SHAPE_LOG)
+        global LAST_MAPPING_STATS
+        LAST_MAPPING_STATS = {
+            "prep_s": round(t_prep, 2), "await_s": round(t_await, 2),
+            "n_clusters": len(clusters),
+            "scheduled_tflop": round(sched_fl / 1e12, 3),
+            "batched": bool(cfg.device_batch_clusters),
+        }
         for ci, rec in enumerate(recs):
             log.info("cluster %d/%d (device): %d/%d images, %d points",
                      ci + 1, len(clusters), rec.num_registered,

@@ -40,6 +40,11 @@ from scanner_colmap_tpu.utils.config import MapperConfig
 
 log = logging.getLogger(__name__)
 
+# shape log for utilization accounting: (M, P, T, n_images) appended per
+# dispatched cluster program; cleared + read by run_clustered_mapping
+# (utils/flops.device_mapper_flops turns these into scheduled FLOPs)
+SHAPE_LOG: List[tuple] = []
+
 
 def _pair_matches(graph, i: int, j: int) -> np.ndarray:
     """(K, 2) verified matches (kp_i, kp_j), from the stage graph's retained
@@ -411,6 +416,7 @@ def map_cluster_device(keypoints: Dict[int, np.ndarray], cameras: Dict,
             return _empty_rec(keypoints, cameras, cfg)
         return _finish_empty() if block else _finish_empty
 
+    SHAPE_LOG.append((prep["M"], prep["P"], prep["T"], len(prep["members"])))
     out_dev = device_mapper.map_cluster(
         prep["key"], prep["cam_in"], prep["order"], prep["forced"],
         prep["reg_init"], prep["obs_cam"], prep["obs_uv"], prep["obs_xn"],
@@ -474,21 +480,32 @@ def _pad_prep(prep, M, P, T, cam_width=None):
 def map_clusters_device_batch(cluster_args: Sequence[tuple],
                               config: Optional[MapperConfig] = None
                               ) -> List[Reconstruction]:
-    """Solve EVERY cluster of a collection as ONE batched device program.
+    """Solve a collection's clusters as few batched device programs.
 
     `cluster_args`: list of (keypoints, cameras, graph, two_view, seed)
-    tuples, one per cluster. Each cluster's packed inputs are padded to the
-    batch's common (M, P, T) and stacked on a leading axis; a single
-    vmapped `map_cluster_batch` call replaces C sequential dispatches.
+    tuples, one per cluster. Clusters are grouped by their shape bucket
+    (M, P, T, cam columns — already pow2-bucketed by `_prepare_cluster`,
+    so a homogeneous collection lands in 1-3 buckets), each group is split
+    into chunks of at most `cfg.device_batch_size` clusters, and every
+    chunk runs as ONE vmapped `map_cluster_batch` program. Chunk dispatches
+    are issued asynchronously before any result is awaited, so the device
+    pipelines chunk c+1 while the host unpacks chunk c.
+
     Per-cluster ops are small (M<=32 cameras, P~2k tracks), so batching is
     near-free on the VPU/MXU while removing C-1 kernel launches and their
     link round trips — the TPU analog of the reference fanning clusters out
-    to Scanner workers (SURVEY §2.2 parallelism #3).
+    to Scanner workers (SURVEY §2.2 parallelism #3). The chunk cap bounds
+    device memory at collection scale (10k images = ~1,250 clusters;
+    unbounded stacking was ~C x 2 MB of inputs plus C x the solver's
+    working set). Partial chunks pad the cluster axis by replicating the
+    last cluster (compiled chunk shapes stay pow2-bounded); replicated
+    rows are dropped on unpack.
 
     Returns one Reconstruction per input cluster (empty where the cluster
     could not seed).
     """
     cfg = config or MapperConfig()
+    batch_cap = max(int(getattr(cfg, "device_batch_size", 32)), 1)
     results: List[Optional[Reconstruction]] = [None] * len(cluster_args)
     preps = []
     for idx, (kp, cams, g, tv, seed) in enumerate(cluster_args):
@@ -501,25 +518,41 @@ def map_clusters_device_batch(cluster_args: Sequence[tuple],
     if not preps:
         return results
 
-    M = max(p["M"] for p in preps)
-    P = max(p["P"] for p in preps)
-    T = max(p["T"] for p in preps)
-    cam_w = max(p["cam_in"].shape[1] for p in preps)
-    padded = [_pad_prep(p, M, P, T, cam_width=cam_w) for p in preps]
-    stacked = {k: np.stack([p[k] for p in padded]) for k in _ARRAY_KEYS}
+    groups: Dict[tuple, list] = {}
+    for p in preps:
+        key = (p["M"], p["P"], p["T"], p["cam_in"].shape[1])
+        groups.setdefault(key, []).append(p)
 
-    out = np.asarray(device_mapper.map_cluster_batch(
-        stacked["key"], stacked["cam_in"], stacked["order"],
-        stacked["forced"], stacked["reg_init"], stacked["obs_cam"],
-        stacked["obs_uv"], stacked["obs_xn"], stacked["obs_present"],
-        stacked["pnp_thr_n"], stacked["tri_thr_n"], stacked["scal"],
-        pnp_trials=cfg.device_pnp_trials,
-        ba_iters=cfg.device_ba_iters_per_step,
-        final_iters=cfg.device_final_ba_iters, chunk=min(1024, P)))
+    pending = []
+    for (M, P, T, cam_w), grp in sorted(groups.items()):
+        for s in range(0, len(grp), batch_cap):
+            chunk = grp[s: s + batch_cap]
+            # pad the cluster axis to a pow2 (>= 4) so the compiled batch
+            # shapes are bounded: ceil-pow2 chunks mean at most
+            # log2(batch_cap) distinct C values per bucket
+            C = next_pow2(len(chunk), min(4, batch_cap))
+            for p in chunk:
+                SHAPE_LOG.append((M, P, T, len(p["members"])))
+            padded = [_pad_prep(p, M, P, T, cam_width=cam_w) for p in chunk]
+            rows = padded + [padded[-1]] * (C - len(padded))
+            stacked = {k: np.stack([p[k] for p in rows])
+                       for k in _ARRAY_KEYS}
+            out_dev = device_mapper.map_cluster_batch(
+                stacked["key"], stacked["cam_in"], stacked["order"],
+                stacked["forced"], stacked["reg_init"], stacked["obs_cam"],
+                stacked["obs_uv"], stacked["obs_xn"],
+                stacked["obs_present"], stacked["pnp_thr_n"],
+                stacked["tri_thr_n"], stacked["scal"],
+                pnp_trials=cfg.device_pnp_trials,
+                ba_iters=cfg.device_ba_iters_per_step,
+                final_iters=cfg.device_final_ba_iters, chunk=min(1024, P))
+            pending.append((out_dev, chunk, M, P, T))
 
-    for row, prep in zip(out, preps):
-        results[prep["_idx"]] = _unpack(
-            row, prep, prep["_cams"], prep["_kp"], M, P, T, cfg)
+    for out_dev, chunk, M, P, T in pending:
+        out = np.asarray(out_dev)
+        for row, prep in zip(out, chunk):
+            results[prep["_idx"]] = _unpack(
+                row, prep, prep["_cams"], prep["_kp"], M, P, T, cfg)
     return results
 
 

@@ -682,6 +682,10 @@ def bundle_adjust_packed(
     return cam, p.xyz, stats
 
 
+# per-call accounting of the segmented host driver, for scale-run
+# utilization reports: (solver, M, P, T, applied_iters, cg_iters, seconds)
+PERF_LOG: list = []
+
 NUM_CAM_IN = 22  # qvec4 t3 logf k1 cc2 cam_valid pose_free6 plogf pk1 pwf pwk
 # optional 23rd column: shared-camera group LEADER slot (see
 # BundleConfig.cam_group). A (M, 22) cam_in keeps per-image intrinsics.
@@ -767,7 +771,9 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
     matches the latency it amortizes. Explicit positive segments override.
     """
     import numpy as np
+    import time as _time
 
+    _t_start = _time.time()
     if segment <= 0:
         obs_cells = float(obs_in.shape[0] * obs_in.shape[1])
         trip_ms = obs_cells * 6.5e-5   # ~1 ms per trip at 16k cells (v5e)
@@ -828,4 +834,8 @@ def bundle_adjust_flat_segmented(cam_in, pt_in, obs_in, scal_in,
     out = out.copy()
     out[M * 9 + P * 3 + 0] = initial_cost
     out[M * 9 + P * 3 + 2] = total_used
+    # utilization accounting (read + cleared by scale harnesses):
+    # (solver, M, P, T, applied LM iterations, cg_iters, wall seconds)
+    PERF_LOG.append((solver, M, P, int(obs_in.shape[1]), total_used,
+                     cg_iters, _time.time() - _t_start))
     return out

@@ -898,6 +898,8 @@ def run_mapping(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         pts_b.append(pb)
         cluster_id.append(ci)
     n_reg = sum(r.num_registered for r in submodels)
+    from scanner_colmap_tpu.engine import cluster as cluster_mod
+
     store.write_table("mapping", {
         "cluster_id": np.asarray(cluster_id, np.int64),
         "cameras": cams_b,
@@ -905,7 +907,8 @@ def run_mapping(cfg: PipelineConfig, store: Optional[ArtifactStore] = None):
         "points3d": pts_b,
     }, meta={"stage": "mapping", "config": vars(cfg.mapper),
              "images_registered_per_s": n_reg / max(time.time() - t0, 1e-9),
-             "num_submodels": len(submodels)})
+             "num_submodels": len(submodels),
+             "device_stats": dict(cluster_mod.LAST_MAPPING_STATS)})
     log.info("mapping: %d submodels, %d registrations, %.2f img/s",
              len(submodels), n_reg, n_reg / max(time.time() - t0, 1e-9))
     return len(submodels)
@@ -919,10 +922,15 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
               export_path: Optional[str] = None):
     """Tree-merge submodels into one model (reference merge_mapping.py)."""
     store = store or ArtifactStore(cfg.store_path)
+    t_split = {}          # sub-timings recorded into the manifest meta
+    t0 = time.time()
     tab = store.read_table("mapping")
     submodels = [colmap_io.model_from_bytes(c, i, p)
                  for c, i, p in zip(tab["cameras"], tab["images"], tab["points3d"])]
+    t_split["load"] = round(time.time() - t0, 2)
+    t0 = time.time()
     model = merge_all(submodels, cfg.merge)
+    t_split["fold"] = round(time.time() - t0, 2)
     if cfg.merge.final_ba and len(submodels) > 1:
         # beyond merge.final_ba_max_images the solves inside switch from
         # the dense Schur factorization to matrix-free CG (ops/ba) — large
@@ -933,8 +941,11 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             from scanner_colmap_tpu.engine.merge import (
                 iterative_global_refinement)
 
+            t0 = time.time()
             image_ids_r, kp_r, _, cameras_r = _load_extraction(store)
             graph_r, two_view_r = _build_graph(store, kp_r)
+            t_split["graph"] = round(time.time() - t0, 2)
+            t0 = time.time()
             m_cfg = cfg.matching
             win_max = (1 << max(m_cfg.overlap - 1, 0)
                        if m_cfg.quadratic_overlap else m_cfg.overlap)
@@ -944,6 +955,7 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 loop_gate_factor=cfg.merge.loop_refine_gate_factor,
                 loop_separation=(m_cfg.loop_min_separation
                                  or 2 * m_cfg.overlap))
+            t_split["refine"] = round(time.time() - t0, 2)
             log.info("merge: iterative refinement -> %d images, %d points",
                      model.num_registered, len(model.points3D))
         else:
@@ -965,7 +977,8 @@ def run_merge(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         "cameras": [cb], "images": [ib], "points3d": [pb],
     }, meta={"stage": "merge", "num_registered": model.num_registered,
              "num_points": len(model.points3D),
-             "mean_reproj_error": model.mean_reprojection_error()})
+             "mean_reproj_error": model.mean_reprojection_error(),
+             "time_split_s": t_split})
     if export_path:
         colmap_io.write_model(model, export_path)
     log.info("merge: %d images, %d points, err %.3f px", model.num_registered,

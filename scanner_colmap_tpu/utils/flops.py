@@ -87,6 +87,26 @@ def ba_cg_flops_per_iter(M: int, P: int, T: int, cg_iters: int) -> float:
     return build + cg_iters * per_cg
 
 
+def device_mapper_flops(M: int, P: int, T: int, n_images: int,
+                        ba_iters: int, final_iters: int,
+                        pnp_trials: int = 256) -> float:
+    """SCHEDULED FLOPs of one device-mapper cluster program
+    (ops/device_mapper._map_cluster_impl): ~(n-1) active registration steps
+    (the retry pass and padded schedule slots cond-skip on the non-vmapped
+    path), each running PnP RANSAC + triangulate_all + ba_iters LM
+    iterations, plus two final grow_and_refine rounds of final_iters.
+
+    UPPER BOUND on executed work: converged LM trips skip device-side
+    (lax.cond), so achieved-TFLOP/s computed from this is an upper
+    estimate — good for order-of-magnitude MFU accounting, not ±20%."""
+    steps = max(n_images - 1, 1)
+    ba_it = ba_flops_per_iter(M, P, T)
+    pnp_fl = float(pnp_trials) * P * 120.0    # per-trial residual checks
+    tri = float(P) * T * 600.0                # _triangulate_all einsums
+    return (steps * (ba_iters * ba_it + pnp_fl + tri)
+            + 2.0 * (final_iters * ba_it + tri))
+
+
 def patch_match_taps(H: int, W: int, S: int, window_radius: int,
                      num_iterations: int, window_step: int = 1,
                      n_candidates: int = 10) -> float:
