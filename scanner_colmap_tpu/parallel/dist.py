@@ -263,3 +263,23 @@ def run_patch_match_distributed(cfg, store=None):
                            meta={"stage": "patch_match"})
     barrier_via_store(store, "patch_match_merged")
     return store.num_rows("patch_match") if pid == 0 else None
+
+
+def run_merge_distributed(cfg, store=None):
+    """Multi-host merge: the tree-merge + full-graph refinement run on
+    host 0 over the concatenated `mapping` table (the reference's merge is
+    likewise a single batched kernel over all submodel rows,
+    merge_mapping.cc:96 `.batch()`); other hosts wait on the store barrier
+    so every process leaves the stage with `models` readable."""
+    from scanner_colmap_tpu.pipeline import stages
+    from scanner_colmap_tpu.utils.store import ArtifactStore
+
+    store = store or ArtifactStore(cfg.store_path)
+    pid, n = process_info()
+    model = None
+    if pid == 0:
+        model = stages.run_merge(cfg, store)
+    barrier_via_store(store, "merge_done")
+    if model is None:
+        model = stages.load_model(store)
+    return model

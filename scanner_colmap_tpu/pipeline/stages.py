@@ -518,6 +518,28 @@ def _loop_candidates(Hw, sep: int, top_k: int, min_sim: float,
     return pairs
 
 
+def _revisit_fraction(Hw, sep: int, ratio: float, block: int = 256) -> float:
+    """Fraction of images whose best NON-window BoW similarity reaches
+    `ratio` x their best window similarity — the loop-closure auto-on
+    signal. A straight pass scores far pairs well below near pairs (the
+    scene content at |offset| > sep is different); a revisiting trajectory
+    scores the second-leg pairs comparably to window pairs. Blockwise:
+    O(block*N) memory."""
+    n_img = Hw.shape[0]
+    if n_img < 3:
+        return 0.0
+    cols = np.arange(n_img)
+    n_revisit = 0
+    for s in range(0, n_img, block):
+        e = min(s + block, n_img)
+        sim = Hw[s:e] @ Hw.T
+        off = np.abs(np.arange(s, e)[:, None] - cols[None, :])
+        near = np.where((off > 0) & (off <= sep), sim, -2.0).max(axis=1)
+        far = np.where(off > sep, sim, -2.0).max(axis=1)
+        n_revisit += int(np.sum((far > -1.5) & (far >= ratio * near)))
+    return n_revisit / n_img
+
+
 def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                  schedule_slice: Optional[tuple] = None,
                  out_table: str = "matching"):
@@ -621,14 +643,27 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     # mini-banks with the SAME compiled kernel and fall into the same
     # verification gate below — a false candidate costs one RANSAC slot.
     n_loop_pairs = 0
-    if m.loop_closure and n_img > 2:
+    lc = m.loop_closure
+    lc = lc.lower() if isinstance(lc, str) else lc
+    lc_auto = lc == "auto"
+    lc_on = lc in (True, 1, "on", "true")
+    loop_meta = {"mode": "auto" if lc_auto else ("on" if lc_on else "off")}
+    if (lc_on or lc_auto) and n_img > 2:
         sep = m.loop_min_separation or 2 * m.overlap
         Hw = _bow_embedding(image_ids, desc)
         if Hw is None:
-            loop_pairs = set()
-        else:
-            loop_pairs = _loop_candidates(
-                Hw, sep, m.loop_top_k, m.loop_min_similarity)
+            lc_on = False
+        elif lc_auto:
+            frac = _revisit_fraction(Hw, sep, m.loop_auto_ratio)
+            lc_on = frac >= m.loop_auto_min_frac
+            loop_meta["revisit_frac"] = round(float(frac), 4)
+            log.info("matching: loop-closure auto prepass — revisit "
+                     "fraction %.3f (threshold %.3f) -> %s", frac,
+                     m.loop_auto_min_frac, "ON" if lc_on else "off")
+    loop_meta["enabled"] = bool(lc_on and n_img > 2)
+    if lc_on and n_img > 2:
+        loop_pairs = _loop_candidates(
+            Hw, sep, m.loop_top_k, m.loop_min_similarity)
         loop_pairs -= set(sched)
         n_loop_pairs = len(loop_pairs)
 
@@ -755,6 +790,8 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     }, meta={"stage": "matching", "config": vars(m),
              "bank_images": B, "num_banks": len(by_bank),
              "scheduled_pairs": len(sched), "k_max": K_max,
+             "loop_closure": dict(loop_meta,
+                                  n_candidates=int(n_loop_pairs)),
              "pairs_per_s": len(pair_ids) / max(time.time() - t0, 1e-9)})
     log.info("matching: %d verified pairs, %.2f pairs/s",
              len(pair_ids), len(pair_ids) / max(time.time() - t0, 1e-9))

@@ -72,10 +72,20 @@ class MatchingConfig:
     # the correspondence graph and the post-merge full-graph refinement,
     # which is where they remove the drift the windowed pipeline cannot
     # observe (PERFORMANCE.md Known bounds).
-    loop_closure: bool = False
+    # True/"on" = always, False/"off" = never, "auto" (default) = a cheap
+    # BoW self-similarity prepass decides: an image counts as a REVISIT
+    # when its best non-window similarity reaches loop_auto_ratio x its
+    # best window similarity (a straight pass scores far pairs well below
+    # near pairs; a loop scores them comparably), and closure turns on
+    # when >= loop_auto_min_frac of images are revisits. The prepass
+    # reuses the candidate-retrieval embedding, so auto costs one blocked
+    # (N, N) similarity sweep and nothing else when it stays off.
+    loop_closure: object = "auto"
     loop_top_k: int = 3                 # candidate partners per image
     loop_min_separation: int = 0        # 0 = auto (2 * overlap)
     loop_min_similarity: float = 0.0    # 0 = rank-only candidate gate
+    loop_auto_ratio: float = 0.85       # revisit: s_far >= ratio * s_near
+    loop_auto_min_frac: float = 0.08    # auto-on when revisit fraction >=
 
 
 @dataclasses.dataclass

@@ -37,6 +37,12 @@ def main():
     cfg.matching.overlap = 3
     cfg.matching.min_num_inliers = 12
 
+    # host mapper with per-cluster seeds: deterministic, so the 2-process
+    # result can be asserted equal to a single-process reference run
+    cfg.mapper.mode = "host"
+    cfg.mapper.cluster_size = 4
+    cfg.mapper.cluster_overlap = 2
+
     store = ArtifactStore(store_path)
     if pid == 0:
         stages.prepare_images(cfg, store)
@@ -44,10 +50,13 @@ def main():
 
     dist.run_extraction_distributed(cfg, store)
     dist.run_matching_distributed(cfg, store)
+    dist.run_mapping_distributed(cfg, store)
+    model = dist.run_merge_distributed(cfg, store)
 
     if pid == 0:
         n = store.num_rows("matching")
         print(f"MATCHING_ROWS={n}", flush=True)
+        print(f"MERGED_IMAGES={model.num_registered}", flush=True)
     print(f"WORKER_{pid}_DONE", flush=True)
 
 

@@ -78,3 +78,62 @@ def test_bow_similarity_ranks_revisits(loop_stores):
     # frame 2's best far partner should be near its mirror frame (~22)
     far = [int(b) for b in np.argsort(-sim[2]) if abs(b - 2) > 8]
     assert abs(far[0] + 2 - 24) <= 4, far[:5]
+
+
+def test_auto_closure_turns_on_for_loop(loop_stores):
+    """mode="auto" (the default): the revisit prepass enables closure on a
+    loop trajectory and records its decision in the manifest."""
+    gt, out = loop_stores
+    cfg, store, _ = out[True]
+    ids, kp, desc, cams = stages._load_extraction(store)
+    Hw = stages._bow_embedding(ids, desc)
+    frac = stages._revisit_fraction(Hw, 2 * cfg.matching.overlap,
+                                    cfg.matching.loop_auto_ratio)
+    assert frac >= cfg.matching.loop_auto_min_frac, frac
+
+
+def test_auto_closure_stays_off_for_straight_pass(tmp_path):
+    img = str(tmp_path / "imgs")
+    synth.generate_dataset(img, num_images=16, width=256, height=192,
+                           num_blobs=300, seed=3)
+    cfg = PipelineConfig(image_path=img, store_path=str(tmp_path / "s"))
+    cfg.sift.max_image_size = 256
+    cfg.sift.max_num_features = 384
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 3
+    assert cfg.matching.loop_closure == "auto"   # the default
+    store = ArtifactStore(cfg.store_path)
+    stages.prepare_images(cfg, store)
+    stages.run_extraction(cfg, store)
+    stages.run_matching(cfg, store)
+    meta = store.read_manifest("matching")["meta"]["loop_closure"]
+    assert meta["mode"] == "auto"
+    assert meta["enabled"] is False, meta
+    assert meta["n_candidates"] == 0
+    # no far pairs entered the schedule
+    prs = np.asarray(store.read_table("matching")["pair_image_ids"])
+    prs = prs.reshape(-1, 2)
+    assert len(prs[np.abs(prs[:, 0] - prs[:, 1]) > 6]) == 0
+
+
+def test_auto_closure_end_to_end_loop(tmp_path):
+    """Default config on an out-and-back set: prepass flips closure ON and
+    verified far pairs appear in the matching table."""
+    img = str(tmp_path / "imgs")
+    synth.generate_dataset(img, num_images=20, width=256, height=192,
+                           num_blobs=400, seed=5, track="out_and_back")
+    cfg = PipelineConfig(image_path=img, store_path=str(tmp_path / "s"))
+    cfg.sift.max_image_size = 256
+    cfg.sift.max_num_features = 384
+    cfg.sift.num_octaves = 3
+    cfg.matching.overlap = 3
+    store = ArtifactStore(cfg.store_path)
+    stages.prepare_images(cfg, store)
+    stages.run_extraction(cfg, store)
+    stages.run_matching(cfg, store)
+    meta = store.read_manifest("matching")["meta"]["loop_closure"]
+    assert meta["enabled"] is True, meta
+    assert meta["revisit_frac"] >= cfg.matching.loop_auto_min_frac
+    prs = np.asarray(store.read_table("matching")["pair_image_ids"])
+    prs = prs.reshape(-1, 2)
+    assert len(prs[np.abs(prs[:, 0] - prs[:, 1]) > 6]) >= 3
