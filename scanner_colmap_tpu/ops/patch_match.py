@@ -480,3 +480,65 @@ def patch_match(
     depth, normal, cost, _ = jax.lax.fori_loop(
         0, num_iterations, body, (depth, normal, cost, key))
     return depth, normal, cost
+
+
+def patch_match_tiled(
+    key,
+    problem: PatchMatchProblem,
+    tile_rows: int,
+    halo_rows: int = 48,
+    src_depths: jax.Array | None = None,
+    init_depth: jax.Array | None = None,
+    init_normal: jax.Array | None = None,
+    **kwargs,
+) -> tuple:
+    """`patch_match` over horizontal REF-image bands with an overlap halo —
+    the memory-bounding plan for reference-resolution dense work
+    (VERDICT r3 #6; the reference ships full-resolution bitmaps into its
+    CUDA stage, prepare_patch_match.cc:63-69).
+
+    The per-pixel working set (candidate stacks, NCC accumulators — all
+    (S, H, W) over REF pixels) scales with the band, while SOURCE images
+    (and source depth banks for the geometric-consistency term) stay whole,
+    so warps near band edges sample exactly what the untiled solve would.
+    Each band solves rows [y0 - halo, y0 + tile + halo) of the ref view and
+    contributes its center rows; the halo covers the Jacobi propagation
+    reach (3 px/sweep x num_iterations, default budgets ~21-32 rows).
+    Cropping the ref view is exact: the band's K_ref shifts cy by the crop
+    offset. Bands use fold_in(key, band) so results are deterministic for
+    a given tiling (they differ bitwise from the untiled solve — the
+    random init is drawn per band shape).
+    """
+    H, W = problem.ref_image.shape
+    if tile_rows <= 0 or H <= tile_rows + 2 * halo_rows:
+        return patch_match(key, problem, src_depths=src_depths,
+                           init_depth=init_depth, init_normal=init_normal,
+                           **kwargs)
+    n_bands = -(-H // tile_rows)
+    outs_d, outs_n, outs_c = [], [], []
+    for b in range(n_bands):
+        y0 = b * tile_rows
+        y1 = min(y0 + tile_rows, H)
+        ya = max(0, y0 - halo_rows)
+        # uniform compute-band height (tile + 2*halo) so every band hits
+        # ONE compiled shape; edge bands shift their window inward
+        hb = min(tile_rows + 2 * halo_rows, H)
+        ya = min(ya, H - hb)
+        yb = ya + hb
+        K_band = problem.K_ref.at[1, 2].add(-ya)
+        prob_b = problem._replace(ref_image=problem.ref_image[ya:yb],
+                                  K_ref=K_band)
+        kw = dict(kwargs)
+        if src_depths is not None:
+            kw["src_depths"] = src_depths      # source-indexed: stays whole
+        if init_depth is not None:
+            kw["init_depth"] = init_depth[ya:yb]
+        if init_normal is not None:
+            kw["init_normal"] = init_normal[ya:yb]
+        d, n, c = patch_match(jax.random.fold_in(key, b), prob_b, **kw)
+        outs_d.append(d[y0 - ya: y1 - ya])
+        outs_n.append(n[y0 - ya: y1 - ya])
+        outs_c.append(c[y0 - ya: y1 - ya])
+    return (jnp.concatenate(outs_d, axis=0),
+            jnp.concatenate(outs_n, axis=0),
+            jnp.concatenate(outs_c, axis=0))

@@ -1343,7 +1343,17 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         d_out = [None] * n
         n_out = [None] * n
         c_out = [None] * n
-        MAX_IN_FLIGHT = 8
+        # dispatch-ahead window scaled to canvas area: 8 in-flight 480px
+        # problems is ~200 MB of device inputs; reference-resolution
+        # problems shrink the window so HBM stays bounded
+        CH, CW = (canvas_h, canvas_w) if ds == 1 else (ch2, cw2)
+        MAX_IN_FLIGHT = max(2, min(8, (8 * 480 * 384) // max(CH * CW, 1)))
+        if pm.tile_rows < 0:
+            tile = 0
+        elif pm.tile_rows > 0:
+            tile = pm.tile_rows
+        else:
+            tile = pm.tile_auto_rows if CH * CW > pm.tile_auto_px else 0
         pending = []  # (ref, packed device array)
 
         def drain(ref, packed_dev):
@@ -1382,8 +1392,9 @@ def run_patch_match(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             # bitwise identical regardless of host sharding / ref subsets
             k = jax.random.fold_in(jax.random.fold_in(key, pass_idx), ref)
             try:
-                depth, normal, cost = pm_ops.patch_match(
-                    k, problem, num_iterations=iters or pm.num_iterations,
+                depth, normal, cost = pm_ops.patch_match_tiled(
+                    k, problem, tile_rows=tile, halo_rows=pm.tile_halo,
+                    num_iterations=iters or pm.num_iterations,
                     window_radius=pm.window_radius,
                     sigma_spatial=pm.sigma_spatial,
                     sigma_color=pm.sigma_color,

@@ -255,6 +255,15 @@ class PatchMatchConfig:
     # surface error; 192px/4src 4.0 -> 5.2 maps/s. Default ON.
     coarse_to_fine: bool = True
     fine_iterations: int = 3
+    # reference-resolution memory plan: ref-image ROW BANDS with an
+    # overlap halo (ops/patch_match.patch_match_tiled) — the per-pixel
+    # working set scales with the band while source images stay whole.
+    # 0 = auto: tile only when the canvas exceeds tile_auto_px pixels
+    # (bands of tile_auto_rows); negative = never tile
+    tile_rows: int = 0
+    tile_halo: int = 48                 # >= propagation reach (3 px/sweep)
+    tile_auto_px: int = 1_200_000       # ~1280x960; below this, untiled
+    tile_auto_rows: int = 384
 
 
 @dataclasses.dataclass

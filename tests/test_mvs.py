@@ -282,3 +282,43 @@ def test_patch_match_warm_start_converges_with_few_sweeps(rng):
     sl = (slice(8, H - 8), slice(8, W - 8))
     rel = np.abs(depth[sl] - gt_depth[sl]) / gt_depth[sl]
     assert np.median(rel) < 0.025, np.median(rel)
+
+
+def test_patch_match_tiled_matches_untiled(rng):
+    """Row-band tiling with halo (the reference-resolution memory plan)
+    recovers the same plane depth as the untiled solve; band seams must
+    not leave depth discontinuities."""
+    problem, gt_depth = make_plane_scene(rng, H=96, W=64, S=3)
+    key = jax.random.PRNGKey(0)
+    kw = dict(num_iterations=6, window_radius=3, sigma_spatial=2.0)
+    d_u, n_u, c_u = patch_match.patch_match(key, problem, **kw)
+    d_t, n_t, c_t = patch_match.patch_match_tiled(
+        key, problem, tile_rows=32, halo_rows=16, **kw)
+    assert d_t.shape == d_u.shape
+    med_u = float(jnp.median(jnp.abs(d_u - gt_depth) / gt_depth))
+    med_t = float(jnp.median(jnp.abs(d_t - gt_depth) / gt_depth))
+    # the field sampler floors at ~2-2.5% on these tiny scenes (see
+    # test_patch_match_recovers_plane_depth); tiling must stay at that
+    # floor, not degrade beyond it
+    assert med_t < 0.035, med_t                   # tiled solves the scene
+    assert med_t < med_u * 2.0 + 5e-3, (med_t, med_u)
+    # interior of each band center agrees with ground truth (no seam bias):
+    # check rows around the band boundaries specifically
+    for seam in (32, 64):
+        band = slice(seam - 2, seam + 2)
+        seam_err = float(jnp.median(
+            jnp.abs(d_t[band] - gt_depth[band]) / gt_depth[band]))
+        assert seam_err < 0.05, (seam, seam_err)
+
+
+def test_patch_match_tiled_passthrough_small():
+    """tile_rows <= 0 or small images fall through to the untiled solve
+    bit-for-bit."""
+    rng = np.random.default_rng(0)
+    problem, _ = make_plane_scene(rng, H=48, W=64, S=2)
+    key = jax.random.PRNGKey(1)
+    kw = dict(num_iterations=2, window_radius=2)
+    d_u, _, _ = patch_match.patch_match(key, problem, **kw)
+    d_t, _, _ = patch_match.patch_match_tiled(key, problem, tile_rows=0,
+                                              **kw)
+    np.testing.assert_array_equal(np.asarray(d_u), np.asarray(d_t))
