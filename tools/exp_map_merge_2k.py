@@ -13,6 +13,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 

@@ -59,11 +59,13 @@ def run_once(n, seed, modes):
 
 
 def main():
-    modes = {
+    all_modes = {
         "host": ("host", "visible_points"),
         "dev_conn": ("device", "connectivity"),
         "dev_vis": ("device", "visible_points"),
     }
+    sel = os.environ.get("ATE_MODES", "host,dev_conn,dev_vis").split(",")
+    modes = {k: v for k, v in all_modes.items() if k in sel}
     sizes = [int(x) for x in os.environ.get("ATE_SIZES", "16,48,96").split(",")]
     seeds = [int(x) for x in os.environ.get("ATE_SEEDS", "0,1,2,3").split(",")]
     results = {}
