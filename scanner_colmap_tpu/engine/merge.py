@@ -156,15 +156,23 @@ def _batch_reproj_ok(rec: Reconstruction, iids, kps, xyz,
 
 
 def merge_into(dst: Reconstruction, src: Reconstruction,
-               config: Optional[MergeConfig] = None) -> bool:
-    """Fold src into dst (in place). Returns False if alignment failed."""
+               config: Optional[MergeConfig] = None,
+               consume: bool = False) -> bool:
+    """Fold src into dst (in place). Returns False if alignment failed.
+
+    consume=True transforms src IN PLACE instead of deep-copying it first —
+    valid when the caller discards src afterwards (the tree fold does; src
+    is only mutated after alignment succeeded, so a False return leaves it
+    untouched either way). Measured at 2k images / 250 submodels: deepcopy
+    was 66% of the whole fold (65 s of 99 s host profile)."""
     cfg = config or MergeConfig()
     ali = align_reconstructions(src, dst, cfg.min_common_images)
     if ali is None:
         log.warning("merge: <%d common registered images", cfg.min_common_images)
         return False
     s, q, t = ali
-    src = src.copy()
+    if not consume:
+        src = src.copy()
     src.transform(s, q, t)
 
     # add src-only cameras/images (dst wins on conflicts)
@@ -397,7 +405,7 @@ def merge_all(models: List[Reconstruction],
         skipped = []
         for i in range(0, len(level) - 1, 2):
             a, b = level[i], level[i + 1]
-            if merge_into(a, b, config):
+            if merge_into(a, b, config, consume=True):
                 nxt.append(a)
             else:
                 nxt.append(a)
@@ -407,7 +415,8 @@ def merge_all(models: List[Reconstruction],
         # retry skipped against the merged survivors
         still = []
         for m in skipped:
-            if not any(merge_into(a, m, config) for a in nxt):
+            if not any(merge_into(a, m, config, consume=True)
+                       for a in nxt):
                 still.append(m)
         if still:
             if len(nxt) + len(still) == len(level):

@@ -180,6 +180,12 @@ class MapperConfig:
                                         # "connectivity" = raw pair-inlier
                                         # greedy (the round-2 schedule)
     device_pnp_trials: int = 256
+    device_batch_size: int = 8          # clusters per vmapped batch chunk
+                                        # (map_clusters_device_batch). 32
+                                        # lanes at P=2048 crashed the v5e
+                                        # worker (the vmapped solver's
+                                        # per-lane working set multiplies);
+                                        # 8 bounds it
     device_batch_clusters: bool = False  # solve ALL clusters as ONE vmapped
                                         # program. MEASURED SLOWER (4.0 s vs
                                         # 0.9 s warm, 16 images / 3 clusters):
