@@ -711,7 +711,8 @@ class IncrementalMapper:
                   <= getattr(self.cfg, "ba_dense_max_images", 256) else "cg")
         out = ba.bundle_adjust_flat_segmented(
             cam_in, pt_in, obs_in, scal_in,
-            max_iterations=max_iterations, chunk=min(1024, P), solver=solver)
+            max_iterations=max_iterations, chunk=min(1024, P), solver=solver,
+            cg_iters=getattr(self.cfg, "ba_cg_iters", 32))
         M = cam_in.shape[0]
         cam = out[: M * 9].reshape(M, 9).astype(np.float64)
         xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)

@@ -250,7 +250,8 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
                   intr_prior_weight_f: float = 300.0,
                   intr_prior_weight_k: float = 3000.0,
                   max_track: int = 16,
-                  dense_max_images: int = 256) -> Optional[dict]:
+                  dense_max_images: int = 256,
+                  cg_iters: int = 32) -> Optional[dict]:
     """One global BA over the (merged) model + reprojection filtering.
 
     Per-cluster BA leaves inter-submodel drift that the Sim(3) merge cannot
@@ -288,7 +289,8 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
     solver = "dense" if cam_in.shape[0] <= dense_max_images else "cg"
     out = ba.bundle_adjust_flat_segmented(
         cam_in, pt_in, obs_in, scal_in,
-        max_iterations=max_iterations, chunk=min(1024, P), solver=solver)
+        max_iterations=max_iterations, chunk=min(1024, P), solver=solver,
+        cg_iters=cg_iters)
     M = cam_in.shape[0]
     cam = out[: M * 9].reshape(M, 9).astype(np.float64)
     xyz = out[M * 9: M * 9 + P * 3].reshape(P, 3).astype(np.float64)

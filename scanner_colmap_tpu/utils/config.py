@@ -144,6 +144,14 @@ class MapperConfig:
     # this run the matrix-free CG path (ops/ba._lm_trial_cg) instead of
     # factorizing the (M*8)^2 reduced system
     ba_dense_max_images: int = 256
+    # CG iteration cap per LM trial on the matrix-free path. Measured at
+    # the merged-2k shape (M=2048/P=131k/T=12, v5e): 64 -> 1.89 s/LM iter,
+    # 32 -> 1.13, 16 -> 0.75, with 25-iter final cost within 0.9%/1.9% of
+    # the 64-cap solve — the classic inexact-Newton tradeoff; LM re-solves
+    # every iteration, so looser steps cost accuracy ~nothing at equal
+    # wall-clock. CG also early-exits at tol 1e-4, so this only bites on
+    # hard systems.
+    ba_cg_iters: int = 32
     ba_global_max_refinements: int = 5
     ba_global_max_refinement_change: float = 0.0005
     ba_global_images_ratio: float = 1.1
