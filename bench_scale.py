@@ -74,12 +74,18 @@ def main():
     workdir = os.environ.get("SCALE_WORKDIR") or tempfile.mkdtemp(
         prefix="sct_scale_")
     image_dir = os.path.join(workdir, "images")
+    resume = bool(os.environ.get("SCALE_RESUME"))
     log(f"devices: {jax.devices()}")
     peak = fl.device_peak_tflops(jax.devices()[0])
     t0 = time.time()
-    gt = synth.generate_dataset(image_dir, num_images=n_img, width=480,
-                                height=360, num_blobs=500, seed=7)
-    log(f"rendered {n_img} frames in {time.time() - t0:.0f}s")
+    if resume and os.path.exists(os.path.join(image_dir,
+                                              "ground_truth.json")):
+        gt = synth.load_ground_truth(image_dir)
+        log(f"resume: reusing {len(gt['tvecs'])} rendered frames")
+    else:
+        gt = synth.generate_dataset(image_dir, num_images=n_img, width=480,
+                                    height=360, num_blobs=500, seed=7)
+        log(f"rendered {n_img} frames in {time.time() - t0:.0f}s")
 
     cfg = PipelineConfig(image_path=image_dir,
                          store_path=os.path.join(workdir, "store"))
@@ -100,10 +106,19 @@ def main():
     stages.prepare_images(cfg, store)
     times = {}
     util = {"peak_bf16_tflops": peak}
+    out_table = {"extraction": "extraction", "matching": "matching",
+                 "mapping": "mapping", "merge": "models"}
     for name, fn in [("extraction", stages.run_extraction),
                      ("matching", stages.run_matching),
                      ("mapping", stages.run_mapping),
                      ("merge", stages.run_merge)]:
+        if resume and store.has_table(out_table[name]):
+            log(f"{name}: resume — table present, skipping (stage time "
+                f"not re-measured)")
+            times[name] = -1.0
+            if name == "merge":
+                out = stages.load_model(store)
+            continue
         log(name)
         ba.PERF_LOG.clear()
         t0 = time.time()
@@ -115,7 +130,9 @@ def main():
             if perf:
                 util[f"{name}_host_ba"] = perf
     model = out
-    total = sum(times.values())
+    # resume-skipped stages carry -1: the total (and img/s) then covers
+    # only the re-measured stages — merge complete numbers by hand
+    total = sum(v for v in times.values() if v > 0)
     ate = synth.evaluate_ate(model, gt)
     # trajectory extent: ATE on a 600-unit track reads very differently
     # from the same number on an 8-unit arc

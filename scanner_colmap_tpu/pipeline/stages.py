@@ -518,26 +518,49 @@ def _loop_candidates(Hw, sep: int, top_k: int, min_sim: float,
     return pairs
 
 
-def _revisit_fraction(Hw, sep: int, ratio: float, block: int = 256) -> float:
-    """Fraction of images whose best NON-window BoW similarity reaches
-    `ratio` x their best window similarity — the loop-closure auto-on
-    signal. A straight pass scores far pairs well below near pairs (the
-    scene content at |offset| > sep is different); a revisiting trajectory
-    scores the second-leg pairs comparably to window pairs. Blockwise:
-    O(block*N) memory."""
+def _revisit_signal(Hw, sep: int, ratio: float, block: int = 256):
+    """Loop-closure auto-on signal: (revisit_fraction, partner_coherence).
+
+    - revisit_fraction: images whose best NON-window BoW similarity
+      reaches `ratio` x their best window similarity. A straight pass at
+      small N scores far pairs well below near pairs; a revisiting
+      trajectory scores second-leg pairs comparably to window pairs.
+    - partner_coherence: among ratio-passing rows, the fraction of
+      CONSECUTIVE rows whose top far partners move together
+      (|b(a+1) - b(a)| <= 4). A true revisit's partner map is locally
+      smooth (an out-and-back gives b(a) ~ N - a); appearance aliasing
+      scatters it. This is the load-bearing gate at collection scale:
+      with 10k far candidates per row, extreme-value statistics push
+      the ratio test to fraction 1.0 on a STRAIGHT repetitive-texture
+      pass (measured), and both a far-field contrast test and a
+      descriptor-match probe alias the same way (blob texture repeats;
+      measured 16/16 false probe pairs with >=12 ratio-test matches) —
+      but the false partners land 2,762 rows apart on consecutive
+      queries (coherence 0.02) while genuine revisits track at step 1
+      (0.96).
+    Blockwise: O(block*N) memory."""
     n_img = Hw.shape[0]
     if n_img < 3:
-        return 0.0
+        return 0.0, 0.0
     cols = np.arange(n_img)
-    n_revisit = 0
+    passed = np.zeros(n_img, bool)
+    partner = np.zeros(n_img, np.int64)
     for s in range(0, n_img, block):
         e = min(s + block, n_img)
         sim = Hw[s:e] @ Hw.T
         off = np.abs(np.arange(s, e)[:, None] - cols[None, :])
         near = np.where((off > 0) & (off <= sep), sim, -2.0).max(axis=1)
-        far = np.where(off > sep, sim, -2.0).max(axis=1)
-        n_revisit += int(np.sum((far > -1.5) & (far >= ratio * near)))
-    return n_revisit / n_img
+        far = np.where(off > sep, sim, -2.0)
+        far_top = far.max(axis=1)
+        partner[s:e] = np.argmax(far, axis=1)
+        passed[s:e] = (far_top > -1.5) & (far_top >= ratio * near)
+    frac = float(np.mean(passed))
+    both = passed[:-1] & passed[1:]
+    if not both.any():
+        return frac, 0.0
+    coh = float(np.mean(
+        np.abs(partner[1:][both] - partner[:-1][both]) <= 4))
+    return frac, coh
 
 
 def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
@@ -654,12 +677,15 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         if Hw is None:
             lc_on = False
         elif lc_auto:
-            frac = _revisit_fraction(Hw, sep, m.loop_auto_ratio)
-            lc_on = frac >= m.loop_auto_min_frac
+            frac, coh = _revisit_signal(Hw, sep, m.loop_auto_ratio)
+            lc_on = (frac >= m.loop_auto_min_frac
+                     and coh >= m.loop_auto_min_coherence)
             loop_meta["revisit_frac"] = round(float(frac), 4)
+            loop_meta["partner_coherence"] = round(float(coh), 4)
             log.info("matching: loop-closure auto prepass — revisit "
-                     "fraction %.3f (threshold %.3f) -> %s", frac,
-                     m.loop_auto_min_frac, "ON" if lc_on else "off")
+                     "fraction %.3f (>= %.3f), partner coherence %.3f "
+                     "(>= %.2f) -> %s", frac, m.loop_auto_min_frac, coh,
+                     m.loop_auto_min_coherence, "ON" if lc_on else "off")
     loop_meta["enabled"] = bool(lc_on and n_img > 2)
     if lc_on and n_img > 2:
         loop_pairs = _loop_candidates(

@@ -86,6 +86,14 @@ class MatchingConfig:
     loop_min_similarity: float = 0.0    # 0 = rank-only candidate gate
     loop_auto_ratio: float = 0.85       # revisit: s_far >= ratio * s_near
     loop_auto_min_frac: float = 0.08    # auto-on when revisit fraction >=
+    loop_auto_min_coherence: float = 0.4  # and the top-partner map must be
+                                        # locally smooth over ratio-passing
+                                        # rows (|b(a+1)-b(a)| <= 4): true
+                                        # revisits track the mirror leg
+                                        # (measured 0.96); appearance
+                                        # aliasing at collection scale
+                                        # scatters (0.02 on a straight 10k
+                                        # repetitive-texture pass)
 
 
 @dataclasses.dataclass

@@ -87,9 +87,10 @@ def test_auto_closure_turns_on_for_loop(loop_stores):
     cfg, store, _ = out[True]
     ids, kp, desc, cams = stages._load_extraction(store)
     Hw = stages._bow_embedding(ids, desc)
-    frac = stages._revisit_fraction(Hw, 2 * cfg.matching.overlap,
-                                    cfg.matching.loop_auto_ratio)
+    frac, coh = stages._revisit_signal(Hw, 2 * cfg.matching.overlap,
+                                       cfg.matching.loop_auto_ratio)
     assert frac >= cfg.matching.loop_auto_min_frac, frac
+    assert coh >= cfg.matching.loop_auto_min_coherence, coh
 
 
 def test_auto_closure_stays_off_for_straight_pass(tmp_path):
