@@ -25,6 +25,20 @@ def next_pow2(n: int, lo: int = 1) -> int:
     return v
 
 
+def bucket_points(n: int, lo: int = 512) -> int:
+    """Point-count bucket: pow2 up to 128k, then multiples of 64k.
+
+    Pow2 alone wastes up to 2x at collection scale — a 550k-point merged
+    model padded to 1M carries a ~1.6 GB CG working set (Wc is P*T*96
+    bytes) and crashed the v5e worker on the 10k run. Above 128k each
+    solve is a one-off large shape anyway, so the finer 64k steps cost at
+    most one extra compile per run while capping pad waste at 12%."""
+    if n <= 131072:
+        return next_pow2(max(n, 1), lo)
+    step = 65536
+    return ((n + step - 1) // step) * step
+
+
 def pack_bundle_flat(
     rec: Reconstruction,
     image_ids: Sequence[int],
@@ -72,7 +86,7 @@ def pack_bundle_flat(
         obs_slot = obs_pid = np.zeros(0, np.int64)
         obs_uv = np.zeros((0, 2))
         point_ids = []
-    P = next_pow2(max(len(point_ids), 1), min_points)
+    P = bucket_points(max(len(point_ids), 1), min_points)
 
     # shared-camera groups: images on one physical camera tie their
     # intrinsic columns to the group LEADER inside the Schur solve (exact
@@ -139,6 +153,14 @@ def pack_bundle_flat(
         # image at two keypoints, so the bound is measured, never assumed
         max_track = min(max_track,
                         next_pow2(max(int(counts.max(initial=1)), 1), 4))
+        # memory-driven slot cap: the CG trial's resident working set is
+        # P*T*96 bytes (the stacked Wc) — bound the obs cells so merged-
+        # collection solves stay near 1 GB on-chip (the uncapped 10k
+        # solve crashed the worker). Truncation drops the least-recent
+        # observations of the deepest tracks only.
+        cell_cap = 8 << 20
+        if P * max_track > cell_cap:
+            max_track = max(8, cell_cap // P)
         obs_in = np.zeros((P, max_track, 4), obs_dtype)
         keep = pos < max_track
         rows, cols = o_pt_s[keep], pos[keep]

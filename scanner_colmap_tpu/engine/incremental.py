@@ -358,9 +358,21 @@ class IncrementalMapper:
         return err < self.cfg.filter_max_reproj_error * thr_factor
 
     def _triangulate_tracks(self, tracks) -> int:
-        """Batch-triangulate candidate tracks; add accepted points."""
+        """Batch-triangulate candidate tracks; add accepted points.
+
+        Large candidate sets (full-graph retriangulation at collection
+        scale produces millions) run in fixed-size chunks: the kernel's
+        (B, T, T) pair-angle block alone is B*256 bytes, and an unchunked
+        2M-track batch puts multi-GB transients on the chip. Full chunks
+        share one compiled shape."""
         if not tracks:
             return 0
+        CHUNK = 262144
+        if len(tracks) > CHUNK:
+            n = 0
+            for s in range(0, len(tracks), CHUNK):
+                n += self._triangulate_tracks(tracks[s: s + CHUNK])
+            return n
         T = 8
         # generous bucket floor: each distinct shape costs a ~2 s remote
         # compile on cacheless backends, far more than the padded FLOPs
