@@ -147,17 +147,19 @@ def main():
     map_meta = store.read_manifest("mapping")["meta"]
     merge_meta = store.read_manifest("models")["meta"]
 
-    # matching utilization (MXU matmul fraction)
-    m_fl = fl.matching_flops(mm["scheduled_pairs"], mm["k_max"])
-    m_tf = m_fl / max(times["matching"], 1e-9) / 1e12
-    util["matching"] = {
-        "achieved_tflops": round(m_tf, 3),
-        "frac_of_peak": round(m_tf / peak, 5) if peak else None}
+    # matching utilization (MXU matmul fraction); skipped on resume runs
+    # where the stage time was not re-measured
+    if times["matching"] > 0:
+        m_fl = fl.matching_flops(mm["scheduled_pairs"], mm["k_max"])
+        m_tf = m_fl / times["matching"] / 1e12
+        util["matching"] = {
+            "achieved_tflops": round(m_tf, 3),
+            "frac_of_peak": round(m_tf / peak, 5) if peak else None}
     # device-mapper utilization: scheduled FLOPs (upper bound; converged LM
     # trips cond-skip on device) over the whole mapping stage wall clock
     dstats = map_meta.get("device_stats") or {}
-    if dstats.get("scheduled_tflop"):
-        mp_tf = dstats["scheduled_tflop"] / max(times["mapping"], 1e-9)
+    if dstats.get("scheduled_tflop") and times["mapping"] > 0:
+        mp_tf = dstats["scheduled_tflop"] / times["mapping"]
         util["mapping_device"] = {
             "scheduled_tflops": round(mp_tf, 3),
             "frac_of_peak": round(mp_tf / peak, 5) if peak else None,
