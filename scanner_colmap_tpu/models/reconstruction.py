@@ -56,9 +56,15 @@ def np_reproj_errors(rec: "Reconstruction", iids, kps, xyz):
     u = fx[s_arr] * d[..., 0] + cx[s_arr]
     v = fy[s_arr] * d[..., 1] + cy[s_arr]
     uv_obs = np.empty((len(iids), 2))
+    # group observations by image via ONE sort — the boolean-mask loop
+    # (`s_arr == s` per unique image) rescanned all N observations per
+    # image: O(U*N) = 93 s per call at 10k images / 2M observations,
+    # which was 280 of the 296 s of merged-model track ops (profiled)
+    order = np.argsort(s_arr, kind="stable")
+    bounds = np.searchsorted(s_arr[order], np.arange(len(img_list) + 1))
     for s, iid in enumerate(img_list):
-        sel = s_arr == s
-        uv_obs[sel] = rec.images[iid].xys[kps[sel]]
+        sl = order[bounds[s]: bounds[s + 1]]
+        uv_obs[sl] = rec.images[iid].xys[kps[sl]]
     err = np.hypot(u - uv_obs[:, 0], v - uv_obs[:, 1])
     return err, z
 
