@@ -24,7 +24,7 @@ import numpy as np
 
 from scanner_colmap_tpu.models import cameras as camlib
 from scanner_colmap_tpu.models import geometry as geom
-from scanner_colmap_tpu.models.reconstruction import Reconstruction
+from scanner_colmap_tpu.models.reconstruction import Point3D, Reconstruction
 from scanner_colmap_tpu.utils.config import MergeConfig
 
 log = logging.getLogger(__name__)
@@ -189,59 +189,122 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
             old.qvec, old.tvec = im.qvec, im.tvec
             old.registered = True
 
-    # fold points with track-aware dedup. Candidates are collected first and
-    # reprojection-checked in ONE batched call — src tracks partition src
-    # keypoints, so no candidate's check depends on another's application
-    # (a per-point check call here dominated merge wall-clock)
-    cand = []                        # (pt, target, new_track, xyz)
-    f_iids, f_kps, f_xyz, f_ci = [], [], [], []
-    for pid, pt in src.points3D.items():
-        # does any observation already belong to a dst point?
-        target = -1
+    # fold points with track-aware dedup. Candidates are collected with
+    # VECTOR ops over the flattened src tracks and reprojection-checked in
+    # ONE batched call — src tracks partition src keypoints, so no
+    # candidate's check depends on another's application (the per-
+    # observation Python loops here were 7.3 s of a 15 s fold profile at
+    # 2k images; see tools/prof_host_ops.py)
+    src_pts = list(src.points3D.values())
+    nP = len(src_pts)
+    if nP == 0:
+        return True
+    o_pi_l, o_iid_l, o_kp_l = [], [], []
+    for pi, pt in enumerate(src_pts):
         for (iid, kp) in pt.track:
-            dst_im = dst.images.get(iid)
-            if dst_im is not None and kp < len(dst_im.point3D_ids):
-                ref = int(dst_im.point3D_ids[kp])
-                if ref >= 0:
-                    target = ref
-                    break
-        new_track = []
-        for (iid, kp) in pt.track:
-            dst_im = dst.images.get(iid)
-            if dst_im is None or not dst_im.registered:
-                continue
-            if int(dst_im.point3D_ids[kp]) >= 0:
-                continue  # already observed by a dst point
-            new_track.append((iid, kp))
-        if target >= 0 and target in dst.points3D:
-            xyz = dst.points3D[target].xyz
-        elif len(new_track) >= 2:
-            target = -1  # stale reference to a removed dst point
-            xyz = pt.xyz
-        else:
-            continue
-        ci = len(cand)
-        cand.append((pt, target, new_track, xyz))
-        for (iid, kp) in new_track:
-            f_iids.append(iid)
-            f_kps.append(kp)
-            f_xyz.append(xyz)
-            f_ci.append(ci)
+            o_pi_l.append(pi)
+            o_iid_l.append(iid)
+            o_kp_l.append(kp)
+    o_pi = np.asarray(o_pi_l, np.int64)       # sorted: track-order flatten
+    o_iid = np.asarray(o_iid_l, np.int64)
+    o_kp = np.asarray(o_kp_l, np.int64)
+    nO = len(o_pi)
+    if nO == 0:
+        return True
 
-    ok = np.ones(len(cand), bool)
-    if f_ci:
-        fits = _batch_reproj_ok(dst, f_iids, f_kps, np.asarray(f_xyz),
-                                cfg.max_reproj_error)
-        np.logical_and.at(ok, np.asarray(f_ci), fits)
-    for ci in np.flatnonzero(ok):
-        pt, target, new_track, _ = cand[ci]
-        if target >= 0:
-            tgt = dst.points3D[target]
-            for (iid, kp) in new_track:
-                tgt.track.append((iid, kp))
-                dst.images[iid].point3D_ids[kp] = target
+    # per-observation dst state, gathered per distinct image
+    uniq, inv = np.unique(o_iid, return_inverse=True)
+    reg_u = np.zeros(len(uniq), bool)
+    len_u = np.zeros(len(uniq), np.int64)
+    order_o = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order_o], np.arange(len(uniq) + 1))
+    ref = np.full(nO, -1, np.int64)           # dst point id at (iid, kp)
+    inrange = np.zeros(nO, bool)
+    for s, iid in enumerate(uniq.tolist()):
+        dst_im = dst.images.get(iid)
+        if dst_im is None:
+            continue
+        reg_u[s] = dst_im.registered
+        len_u[s] = len(dst_im.point3D_ids)
+        sl = order_o[bounds[s]: bounds[s + 1]]
+        k = o_kp[sl]
+        okr = k < len_u[s]
+        inrange[sl] = okr
+        ref[sl[okr]] = dst_im.point3D_ids[k[okr]]
+
+    # target = FIRST track observation already assigned in dst (track order)
+    first_pos = np.full(nP, nO, np.int64)
+    has_ref = ref >= 0
+    np.minimum.at(first_pos, o_pi[has_ref], np.flatnonzero(has_ref))
+    target = np.where(first_pos < nO, ref[np.minimum(first_pos, nO - 1)], -1)
+
+    # new-track observations: registered dst image, keypoint unassigned
+    nt = reg_u[inv] & inrange & (ref < 0)
+    counts_new = np.bincount(o_pi[nt], minlength=nP)
+    nt_pi, nt_iid, nt_kp = o_pi[nt], o_iid[nt], o_kp[nt]
+    nt_start = np.searchsorted(nt_pi, np.arange(nP))
+    nt_end = np.searchsorted(nt_pi, np.arange(nP) + 1)
+
+    # candidate xyz: the dst target's position, else the src point's
+    tgt_valid = np.zeros(nP, bool)
+    cand_xyz = np.empty((nP, 3))
+    for pi in np.flatnonzero(target >= 0):
+        tp = dst.points3D.get(int(target[pi]))
+        if tp is not None:
+            tgt_valid[pi] = True
+            cand_xyz[pi] = tp.xyz
+    new_pt = (~tgt_valid) & (counts_new >= 2)   # stale targets fall through
+    cand = tgt_valid | new_pt
+    if new_pt.any():
+        cand_xyz[new_pt] = np.stack([src_pts[pi].xyz
+                                     for pi in np.flatnonzero(new_pt)])
+
+    # one batched reprojection check over every candidate's new observations
+    ok = np.ones(nP, bool)
+    f_sel = nt & cand[o_pi]
+    if f_sel.any():
+        fits = _batch_reproj_ok(dst, o_iid[f_sel], o_kp[f_sel],
+                                cand_xyz[o_pi[f_sel]], cfg.max_reproj_error)
+        np.logical_and.at(ok, o_pi[f_sel], fits)
+
+    # apply accepted candidates. Point ids are allocated in bulk, the track
+    # lists are built from slice-zips of ONE tolist conversion, and the
+    # keypoint-id writes go out grouped per image (set_point3D_id per
+    # observation was 2.4 s of the same profile)
+    acc = cand & ok
+    new_acc = acc & new_pt
+    n_new = int(new_acc.sum())
+    pid_arr = np.where(tgt_valid, target, -1)
+    if n_new:
+        pid_arr[new_acc] = dst._next_point3D_id + np.arange(n_new)
+        dst._next_point3D_id += n_new
+    iid_list, kp_list = nt_iid.tolist(), nt_kp.tolist()
+    for pi in np.flatnonzero(acc):
+        s0, e0 = nt_start[pi], nt_end[pi]
+        entries = list(zip(iid_list[s0:e0], kp_list[s0:e0]))
+        if tgt_valid[pi]:
+            dst.points3D[int(pid_arr[pi])].track.extend(entries)
         else:
-            dst.add_point3D(pt.xyz, new_track, rgb=pt.rgb, error=pt.error)
+            pt = src_pts[pi]
+            dst.points3D[int(pid_arr[pi])] = Point3D(
+                np.asarray(pt.xyz, np.float64), pt.rgb, float(pt.error),
+                entries)
+    a_sel = acc[nt_pi]
+    if a_sel.any():
+        a_iid = nt_iid[a_sel]
+        a_kp = nt_kp[a_sel]
+        a_pid = pid_arr[nt_pi[a_sel]]
+        if dst.observer is None:
+            au, ainv = np.unique(a_iid, return_inverse=True)
+            ao = np.argsort(ainv, kind="stable")
+            ab = np.searchsorted(ainv[ao], np.arange(len(au) + 1))
+            for s, iid in enumerate(au.tolist()):
+                sl = ao[ab[s]: ab[s + 1]]
+                dst.images[iid].point3D_ids[a_kp[sl]] = a_pid[sl]
+        else:
+            for iid, kp, pid in zip(a_iid.tolist(), a_kp.tolist(),
+                                    a_pid.tolist()):
+                dst.set_point3D_id(iid, kp, pid)
     return True
 
 
@@ -311,6 +374,41 @@ def global_refine(rec: Reconstruction, max_iterations: int = 50,
             "iterations": int(stats[2])}
 
 
+def transplant_model(model: Reconstruction, mapper) -> int:
+    """Transplant a merged model's intrinsics/poses/points into a fresh
+    full-graph IncrementalMapper (the seed state for iterative global
+    refinement). Returns the number of registered images transplanted."""
+    # intrinsics from the merged model (shared camera -1 or per-image ids)
+    for cid, cam in model.cameras.items():
+        if cid in mapper.rec.cameras:
+            mapper.rec.cameras[cid].params = np.array(cam.params, np.float64)
+    n = 0
+    for iid, im in model.images.items():
+        if not im.registered or iid not in mapper.rec.images:
+            continue
+        mi = mapper.rec.images[iid]
+        mi.qvec = np.asarray(im.qvec, np.float64).copy()
+        mi.tvec = np.asarray(im.tvec, np.float64).copy()
+        mapper._set_registered(iid, True)
+        n += 1
+    mapper._num_total_reg_images = n
+    if n < 2:
+        return n
+    # warm-start points (retriangulation then extends coverage)
+    for pid, pt in model.points3D.items():
+        track = []
+        for iid, k in pt.track:
+            k = int(k)
+            im = mapper.rec.images.get(iid)
+            if (im is not None and im.registered
+                    and k < len(im.point3D_ids) and im.point3D_ids[k] < 0):
+                track.append((iid, k))
+        if len(track) >= 2:
+            mapper.rec.add_point3D(np.asarray(pt.xyz, np.float64), track,
+                                   rgb=pt.rgb)
+    return n
+
+
 def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
                                 graph, two_view, mapper_cfg,
                                 window: int = 10,
@@ -332,34 +430,9 @@ def iterative_global_refinement(model: Reconstruction, keypoints, cameras,
 
     mapper = IncrementalMapper(keypoints, cameras, graph, two_view,
                                mapper_cfg)
-    # intrinsics from the merged model (shared camera -1 or per-image ids)
-    for cid, cam in model.cameras.items():
-        if cid in mapper.rec.cameras:
-            mapper.rec.cameras[cid].params = np.array(cam.params, np.float64)
-    n = 0
-    for iid, im in model.images.items():
-        if not im.registered or iid not in mapper.rec.images:
-            continue
-        mi = mapper.rec.images[iid]
-        mi.qvec = np.asarray(im.qvec, np.float64).copy()
-        mi.tvec = np.asarray(im.tvec, np.float64).copy()
-        mapper._set_registered(iid, True)
-        n += 1
-    mapper._num_total_reg_images = n
+    n = transplant_model(model, mapper)
     if n < 2:
         return model
-    # warm-start points (retriangulation then extends coverage)
-    for pid, pt in model.points3D.items():
-        track = []
-        for iid, k in pt.track:
-            k = int(k)
-            im = mapper.rec.images.get(iid)
-            if (im is not None and im.registered
-                    and k < len(im.point3D_ids) and im.point3D_ids[k] < 0):
-                track.append((iid, k))
-        if len(track) >= 2:
-            mapper.rec.add_point3D(np.asarray(pt.xyz, np.float64), track,
-                                   rgb=pt.rgb)
     # loop-closure pre-round: when the graph carries edges far outside the
     # matching window (loop pairs — stages.run_matching loop_closure), the
     # merged model's inter-leg drift can push cross-loop reprojections past

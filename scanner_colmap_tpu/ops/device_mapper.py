@@ -219,7 +219,17 @@ def _map_cluster_impl(key, cam_in, order, forced, reg_init,
         img = order[s]
         img_c = jnp.clip(img, 0, M - 1)
         frc = forced[s] > 0.5
-        needs = (img >= 0) & (~registered[img_c])
+        # weak-support re-registration: a slot registered early (few valid
+        # points -> PnP accepted a barely-supported, possibly wrong pose)
+        # can end the run with < 3 fitting observations, which the host
+        # support filter then drops (the measured 47/48 case). The schedule's
+        # retry pass re-attempts such slots against the NOW-triangulated
+        # point set; 3 matches _unpack's min-support filter. Init-pair slots
+        # are excluded (forced) — their poses carry the gauge.
+        sup = jnp.sum(ok_mask(cam, xyz, registered, pt_valid)
+                      & (obs_cam == img_c))
+        weak = registered[img_c] & (sup < 3) & (~frc)
+        needs = (img >= 0) & ((~registered[img_c]) | weak)
 
         def do(cam, xyz, pt_valid, registered):
             key_s = jax.random.fold_in(key, s)
