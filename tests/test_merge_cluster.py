@@ -86,6 +86,62 @@ def test_merge_into_dedups_and_extends(rng, scene):
     assert rec1.mean_reprojection_error() < 0.5
 
 
+def test_merge_into_stale_target_makes_new_point(rng, scene):
+    """A dst keypoint still referencing a REMOVED point id must not crash
+    the fold or resurrect the stale id: the src track falls through to the
+    new-point path and the stale keypoint stays out of the new track."""
+    pts, q_all, t_all = scene
+    rec1 = make_submodel(rng, [0, 1, 2, 3, 4], pts, None, q_all, t_all)
+    rec2 = make_submodel(rng, [2, 3, 4, 5, 6], pts, None, q_all, t_all)
+    # make point 0's dst references stale: drop it WITHOUT clearing ids
+    pid0 = next(iter(rec1.points3D))
+    del rec1.points3D[pid0]
+    n_before = len(rec1.points3D)
+    assert merge_into(rec1, rec2)
+    # the src copy of that point re-created it from its unassigned obs
+    assert len(rec1.points3D) == n_before + 1
+    new_pid = max(rec1.points3D)
+    track = rec1.points3D[new_pid].track
+    # observations on images whose keypoint still carries the stale id are
+    # NOT claimed (they read as assigned), so the track only spans src-only
+    # images — and every entry's assignment must point back at the new point
+    for (iid, kp) in track:
+        assert rec1.images[iid].point3D_ids[kp] == new_pid
+    assert all(iid in (5, 6) for (iid, _) in track)
+
+
+def test_merge_into_split_src_points_share_target(rng, scene):
+    """Two src points whose tracks both touch one dst point must BOTH fold
+    into that target (disjoint keypoints), not duplicate it."""
+    pts, q_all, t_all = scene
+    rec1 = make_submodel(rng, [0, 1, 2, 3, 4], pts, None, q_all, t_all)
+    rec2 = make_submodel(rng, [2, 3, 4, 5, 6], pts, None, q_all, t_all)
+    # split one src point into two halves observing the same physical point
+    pid = next(iter(rec2.points3D))
+    pt = rec2.points3D[pid]
+    half = pt.track[: len(pt.track) // 2]
+    rest = pt.track[len(pt.track) // 2:]
+    pt.track = half
+    rec2.add_point3D(pt.xyz.copy(), rest)
+    n_before = len(rec1.points3D)
+    assert merge_into(rec1, rec2)
+    assert len(rec1.points3D) == n_before  # no duplicate created
+    rec1.compute_reprojection_errors()
+    assert rec1.mean_reprojection_error() < 0.5
+
+
+def test_merge_into_skips_unregistered_dst_images(rng, scene):
+    """Observations on an unregistered dst image are not folded in."""
+    pts, q_all, t_all = scene
+    rec1 = make_submodel(rng, [0, 1, 2, 3, 4], pts, None, q_all, t_all)
+    rec2 = make_submodel(rng, [2, 3, 4, 5, 6], pts, None, q_all, t_all)
+    rec2.images[6].registered = False
+    assert merge_into(rec1, rec2)
+    for pt in rec1.points3D.values():
+        assert all(iid != 6 for (iid, _) in pt.track)
+    assert not rec1.images[6].registered
+
+
 def test_merge_fails_without_overlap(rng, scene):
     pts, q_all, t_all = scene
     rec1 = make_submodel(rng, [0, 1, 2], pts, None, q_all, t_all)
