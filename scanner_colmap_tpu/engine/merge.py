@@ -175,6 +175,30 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
         src = src.copy()
     src.transform(s, q, t)
 
+    # fold points with track-aware dedup. Candidates are collected with
+    # VECTOR ops over the flattened src tracks and reprojection-checked in
+    # ONE batched call — src tracks partition src keypoints, so no
+    # candidate's check depends on another's application (the per-
+    # observation Python loops here were 7.3 s of a 15 s fold profile at
+    # 2k images; see tools/prof_host_ops.py)
+    src_pts = list(src.points3D.values())
+    src_pids = np.fromiter(src.points3D.keys(), np.int64, len(src_pts))
+    nP = len(src_pts)
+    # src observations from the per-image ASSIGNMENT arrays (they mirror
+    # the track lists exactly) — vector ops per image instead of a Python
+    # pass over every track entry. Observations group by point via one
+    # argsort; within a point they order by (image, keypoint), which only
+    # affects the tie-break when several dst points own a track's
+    # observations. Captured BEFORE the image-add block below, which
+    # resets src-only images' assignment arrays.
+    ob_pid_l, ob_iid_l, ob_kp_l = [], [], []
+    for iid, im in src.images.items():
+        kps = np.flatnonzero(im.point3D_ids >= 0)
+        if len(kps):
+            ob_pid_l.append(im.point3D_ids[kps])
+            ob_iid_l.append(np.full(len(kps), iid, np.int64))
+            ob_kp_l.append(kps)
+
     # add src-only cameras/images (dst wins on conflicts)
     for cid, cam in src.cameras.items():
         if cid not in dst.cameras:
@@ -189,25 +213,22 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
             old.qvec, old.tvec = im.qvec, im.tvec
             old.registered = True
 
-    # fold points with track-aware dedup. Candidates are collected with
-    # VECTOR ops over the flattened src tracks and reprojection-checked in
-    # ONE batched call — src tracks partition src keypoints, so no
-    # candidate's check depends on another's application (the per-
-    # observation Python loops here were 7.3 s of a 15 s fold profile at
-    # 2k images; see tools/prof_host_ops.py)
-    src_pts = list(src.points3D.values())
-    nP = len(src_pts)
-    if nP == 0:
+    if nP == 0 or not ob_pid_l:
         return True
-    o_pi_l, o_iid_l, o_kp_l = [], [], []
-    for pi, pt in enumerate(src_pts):
-        for (iid, kp) in pt.track:
-            o_pi_l.append(pi)
-            o_iid_l.append(iid)
-            o_kp_l.append(kp)
-    o_pi = np.asarray(o_pi_l, np.int64)       # sorted: track-order flatten
-    o_iid = np.asarray(o_iid_l, np.int64)
-    o_kp = np.asarray(o_kp_l, np.int64)
+    ob_pid = np.concatenate(ob_pid_l)
+    ob_iid = np.concatenate(ob_iid_l)
+    ob_kp = np.concatenate(ob_kp_l)
+    # map src point id -> dense point index; drop assignments whose id is
+    # not a live src point (stale image references)
+    pid_sorted = np.argsort(src_pids, kind="stable")
+    pos = np.searchsorted(src_pids[pid_sorted], ob_pid)
+    pos = np.minimum(pos, nP - 1)
+    live = src_pids[pid_sorted][pos] == ob_pid
+    ob_pi = pid_sorted[pos[live]]
+    order_p = np.argsort(ob_pi, kind="stable")
+    o_pi = ob_pi[order_p]                      # sorted by point index
+    o_iid = ob_iid[live][order_p]
+    o_kp = ob_kp[live][order_p]
     nO = len(o_pi)
     if nO == 0:
         return True
