@@ -673,7 +673,18 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     loop_meta = {"mode": "auto" if lc_auto else ("on" if lc_on else "off")}
     if (lc_on or lc_auto) and n_img > 2:
         sep = m.loop_min_separation or 2 * m.overlap
-        Hw = _bow_embedding(image_ids, desc)
+        # the auto prepass costs a fixed ~2-5 s of host k-means regardless
+        # of N (it dominated the 16-image bench headline, 0.4 -> 5.1 s
+        # matching); a collection of <= 2*sep+4 frames cannot hold revisit
+        # structure beyond the separation gate, so skip the prepass there
+        # (explicit loop_closure=True still runs)
+        if lc_auto and n_img <= 2 * sep + 4:
+            lc_auto = False
+            lc_on = False
+            loop_meta["skipped"] = f"n_img {n_img} <= 2*sep+4 ({2 * sep + 4})"
+            Hw = None
+        else:
+            Hw = _bow_embedding(image_ids, desc)
         if Hw is None:
             lc_on = False
         elif lc_auto:
