@@ -36,54 +36,114 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _regression_check(images_per_s, ba_sustained, ba_spread, dense):
-    """Compare this run's medians against the previous round's recorded
-    BENCH_r*.json and flag >25% drops (VERDICT r3 #3). Also renders a
-    one-line verdict on the r02->r03 sustained-BA drop (562 -> 364 iters/s)
-    using the spread measured THIS run: if the trial band is wider than
-    that drop, single-trial rounds could not distinguish it from link
-    noise."""
+def _round_metrics(path):
+    """Extract comparable metrics from one recorded BENCH_r*.json.
+
+    Handles all three artifact generations: the round-5+ compact headline
+    (flat keys), the round-1..4 full blob (detail tree), and — when the
+    driver's 2 kB tail capture truncated the JSON so `parsed` is null
+    (exactly what happened to BENCH_r04, VERDICT r4 weak #1) — a regex
+    scan of the raw `tail` text for whatever metric fragments survived."""
+    with open(path) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed")
+    out = {}
+    if isinstance(parsed, dict):
+        det = parsed.get("detail", {}) or {}
+        out["value"] = parsed.get("value")
+        out["ba_sustained"] = (parsed.get("ba_sustained")
+                               or det.get("ba_iters_per_sec_sustained"))
+        out["dense_maps_per_s"] = (parsed.get("dense_maps_per_s")
+                                   or det.get("dense", {})
+                                         .get("depth_maps_per_s"))
+        out["scale_images_per_s"] = (parsed.get("scale_images_per_s")
+                                     or det.get("scale", {})
+                                           .get("images_per_s"))
+        out["scale_matching_s"] = (parsed.get("scale_matching_s")
+                                   or det.get("scale", {})
+                                         .get("stage_s", {})
+                                         .get("matching"))
+        out["real_images_per_s"] = (parsed.get("real_images_per_s")
+                                    or det.get("real_texture", {})
+                                          .get("images_per_s"))
+    else:  # tail-scan fallback (first occurrence of each fragment)
+        tail = rec.get("tail", "") or ""
+        pats = {
+            "value": r'"value": ([\d.]+)',
+            "ba_sustained": r'"ba_iters_per_sec_sustained": ([\d.]+)',
+            "dense_maps_per_s": r'"depth_maps_per_s": ([\d.]+)',
+        }
+        for k, p in pats.items():
+            mt = re.search(p, tail)
+            out[k] = float(mt.group(1)) if mt else None
+    return out
+
+
+def _regression_check(images_per_s, ba_sustained, ba_spread, dense, real,
+                      scale):
+    """Flag regressions against recorded BENCH_r*.json rounds (VERDICT
+    r4 #1). For each metric the comparison base is the NEWEST prior round
+    that actually recorded it (a truncated artifact must not silently
+    disarm the gate), and sustained BA is additionally compared against
+    the BEST round ever recorded, so sub-threshold per-round slides cannot
+    compound invisibly (562 -> 364 -> 305 iters/s went unflagged r2-r4)."""
     here = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                         key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     out = {"vs": None, "flags": []}
-    if prev_files:
-        path = prev_files[-1]
-        out["vs"] = os.path.basename(path)
+    rounds = []           # [(name, metrics)] oldest -> newest
+    for path in prev_files:
         try:
-            with open(path) as f:
-                prev = json.load(f).get("parsed", {})
-            checks = [
-                ("sparse_images_per_s", images_per_s,
-                 prev.get("value")),
-                ("ba_iters_per_sec_sustained", ba_sustained,
-                 prev.get("detail", {}).get("ba_iters_per_sec_sustained")),
-                ("dense_depth_maps_per_s",
-                 (dense or {}).get("depth_maps_per_s"),
-                 prev.get("detail", {}).get("dense", {})
-                     .get("depth_maps_per_s")),
-            ]
-            for name, new, old in checks:
-                if new is None or old is None or old <= 0:
-                    continue
-                if new < 0.75 * old:
-                    out["flags"].append(
-                        f"{name}: {new:.2f} < 75% of {out['vs']} "
-                        f"median {old:.2f}")
+            rounds.append((os.path.basename(path), _round_metrics(path)))
         except Exception as e:
-            out["flags"].append(f"previous-round parse failed: {e!r}")
-    if ba_spread and ba_spread["min"] > 0:
-        band = ba_spread["max"] / ba_spread["min"] - 1.0
-        drop = (562.0 - 364.0) / 562.0  # the questioned r02->r03 delta
-        within = band >= drop
-        out["r03_ba_drop_verdict"] = (
-            f"r02=562 -> r03=364 iters/s ({drop:.0%} drop); this run's "
-            f"{ba_spread['n_trials']}-trial band is "
-            f"[{ba_spread['min']:.0f}, {ba_spread['max']:.0f}] "
-            f"({band:.0%} wide) — the historical drop "
-            f"{'IS within single-link-trial variance (tunnel noise, not a '
-               'code regression)' if within else
-               'EXCEEDS the observed trial variance (likely a real change)'}")
+            out["flags"].append(f"{os.path.basename(path)} unreadable: {e!r}")
+    if rounds:
+        out["vs"] = rounds[-1][0]
+
+    def newest(key):
+        for name, met in reversed(rounds):
+            if met.get(key) is not None and met[key] > 0:
+                return name, met[key]
+        return None, None
+
+    now = {
+        "sparse_images_per_s": images_per_s,
+        "ba_iters_per_sec_sustained": ba_sustained,
+        "dense_depth_maps_per_s": (dense or {}).get("depth_maps_per_s"),
+        "scale_images_per_s": (scale or {}).get("images_per_s"),
+        "real_images_per_s": (real or {}).get("images_per_s"),
+    }
+    key_of = {"sparse_images_per_s": "value",
+              "ba_iters_per_sec_sustained": "ba_sustained",
+              "dense_depth_maps_per_s": "dense_maps_per_s",
+              "scale_images_per_s": "scale_images_per_s",
+              "real_images_per_s": "real_images_per_s"}
+    for name, new in now.items():
+        src, old = newest(key_of[name])
+        if new is None or old is None:
+            continue
+        if new < 0.75 * old:
+            out["flags"].append(f"{name}: {new:.2f} < 75% of {src} "
+                                f"median {old:.2f}")
+    # scale matching TIME: flag a >33% increase (the r4 regression was
+    # matching 6.6 -> 18.4 s with images_per_s still unwatched)
+    new_ms = (scale or {}).get("stage_s", {}).get("matching")
+    src, old_ms = newest("scale_matching_s")
+    if new_ms is not None and old_ms:
+        if new_ms > 1.33 * old_ms:
+            out["flags"].append(f"scale_matching_s: {new_ms:.1f}s > 133% "
+                                f"of {src} {old_ms:.1f}s")
+    # vs-BEST-round check for sustained BA (compounding-slide guard)
+    best = [(met["ba_sustained"], name) for name, met in rounds
+            if met.get("ba_sustained")]
+    if best and ba_sustained is not None:
+        best_v, best_n = max(best)
+        out["ba_sustained_vs_best"] = (
+            f"{ba_sustained:.0f} vs best {best_v:.0f} ({best_n})")
+        if ba_sustained < 0.75 * best_v:
+            out["flags"].append(
+                f"ba_iters_per_sec_sustained: {ba_sustained:.0f} < 75% of "
+                f"BEST round {best_n} ({best_v:.0f})")
     return out
 
 
@@ -596,7 +656,7 @@ def main():
     measured_cpu_baseline = 0.57  # same-code 2-vCPU host (see docstring)
     nominal_colmap_cpu = 0.5      # nominal COLMAP-CPU constant (secondary)
     regression = _regression_check(images_per_s, ba_sustained, ba_spread,
-                                   dense)
+                                   dense, real, scale)
     result = {
         "metric": "sparse_pipeline_images_registered_per_sec",
         "value": round(images_per_s, 3),
@@ -632,7 +692,41 @@ def main():
             "device_kind": getattr(jax.devices()[0], "device_kind", ""),
         },
     }
+    # Output contract (VERDICT r4 #1): the driver tail-captures ~2 kB and
+    # parses the FINAL line — round 4's single ~4 kB line outgrew that and
+    # lost the headline. Emit the full blob first (plus BENCH_LOCAL.json
+    # on disk for the record), then a compact <= 500-char headline as the
+    # final line so the driver's parse can never truncate it again.
     print(json.dumps(result))
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        log(f"could not write BENCH_LOCAL.json: {e!r}")
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "registered": int(n_reg),
+        "ate": round(float(ate), 4),
+        "ba_sustained": round(ba_sustained, 1),
+        "dense_maps_per_s": (dense or {}).get("depth_maps_per_s"),
+        "scale_images_per_s": (scale or {}).get("images_per_s"),
+        "scale_matching_s": (scale or {}).get("stage_s", {}).get("matching"),
+        "real_images_per_s": (real or {}).get("images_per_s"),
+        "flags": [fl[:120] for fl in regression["flags"][:3]],
+        "full": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 500:  # hard ceiling: drop the optional keys first
+        for k in ("full", "flags", "real_images_per_s", "scale_matching_s"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 500:
+                break
+    print(line)
 
 
 def _supervise():

