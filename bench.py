@@ -300,26 +300,43 @@ def main():
         ba_trials.append(int(info["iterations"]) / max(time.time() - t0, 1e-9))
     ba_iters_per_s = statistics.median(ba_trials)
     log(f"BA: {ba_iters_per_s:.2f} iters/s (trials {ba_trials})")
-    # sustained device rate: one 512-trip program amortizes the link latency
-    # that dominates the realistic-solve number above.
-    # iterations reports APPLIED trips only — converged trips are skipped
-    # device-side (lax.cond) and must not inflate the rate
-    p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
+    # sustained device rate (round-5 rework, VERDICT r4 #4): the old
+    # easy-start problem converged in ~35 applied trips of 512, so the
+    # metric was dominated by (a) convergence-count drift across solver
+    # changes and (b) the ~25 ms/call link latency — the r2->r4 "slide"
+    # 562->305 decomposes into exactly those two artifacts (the device
+    # rate measures 1.7 ms/applied-iter = r2 level; PERFORMANCE.md
+    # round-5). Now: a HARD fixed-perturbation start (~67 applied trips,
+    # stable across rounds), 4 calls pipelined per trial with one sync.
+    import jax.numpy as jnp_
+    rng_h = np.random.default_rng(9)
+    params_h = params._replace(
+        xyz=params.xyz + jnp_.asarray(
+            rng_h.normal(size=params.xyz.shape) * 0.3, params.xyz.dtype),
+        tvec=params.tvec + jnp_.asarray(
+            rng_h.normal(size=params.tvec.shape) * 0.05, params.tvec.dtype))
+    p_out, info = ba.bundle_adjust(params_h, obs, cfg_ba, max_iterations=512,
                                    chunk=1024, function_tolerance=0.0)
     float(info["final_cost"])
+    n_applied = float(info["iterations"])
     sus_trials = []
     for _ in range(n_trials):
         t0 = time.time()
-        p_out, info = ba.bundle_adjust(params, obs, cfg_ba, max_iterations=512,
-                                       chunk=1024, function_tolerance=0.0)
-        float(info["final_cost"])
-        n_applied = float(info["iterations"])
-        sus_trials.append(n_applied / max(time.time() - t0, 1e-9))
+        infos = []
+        for _ in range(4):   # pipelined: one sync for all four programs
+            _, i_s = ba.bundle_adjust(params_h, obs, cfg_ba,
+                                      max_iterations=512, chunk=1024,
+                                      function_tolerance=0.0)
+            infos.append(i_s)
+        for i_s in infos:
+            float(i_s["final_cost"])
+        sus_trials.append(4 * n_applied / max(time.time() - t0, 1e-9))
     ba_sustained = statistics.median(sus_trials)
     ba_spread = {"median": round(ba_sustained, 1),
                  "min": round(min(sus_trials), 1),
                  "max": round(max(sus_trials), 1),
-                 "n_trials": n_trials}
+                 "n_trials": n_trials,
+                 "applied_per_call": int(n_applied)}
     log(f"BA sustained: {ba_sustained:.0f} iters/s (trials "
         f"{[round(x) for x in sus_trials]})")
     ba_tflops = (flops_acct.ba_flops_per_iter(16, 1024, 16) * ba_sustained
@@ -386,6 +403,46 @@ def main():
             }
             util["ba_dense_big_frac_of_peak"] = ba_scale["dense_frac_of_peak"]
             log(f"BA at scale: {ba_scale}")
+
+        # ---- matching at capacity scale (VERDICT r4 #3): sustained
+        # device-side rate of the round-5 resident-pool matcher at the
+        # COLMAP-capacity shape (K=2048). The uint8 pool uploads ONCE over
+        # the ~52 MB/s tunnel and amortizes across the collection's whole
+        # pair schedule, so the utilization claim is the kernel's
+        # sustained rate on resident descriptors; the one-time upload is
+        # reported alongside.
+        if os.environ.get("BENCH_MATCH_SCALE", "1") != "0" \
+                and _have_budget("matching_scale"):
+            import jax.numpy as jnp
+
+            from scanner_colmap_tpu.ops import matching as mops
+
+            K_big, n_pool, npc = 2048, 48, 128
+            rngm = np.random.default_rng(5)
+            d_u8 = rngm.integers(0, 255, (n_pool, K_big, 128), np.uint8)
+            t0 = time.time()
+            pool = mops.normalize_pool(jnp.asarray(d_u8))
+            float(pool[0, 0, 0].astype(jnp.float32))   # sync the upload
+            t_up = time.time() - t0
+            v_pool = jnp.ones((n_pool, K_big), bool)
+            ai = jnp.asarray(rngm.integers(0, n_pool, npc), dtype=jnp.int32)
+            bi = jnp.asarray(rngm.integers(0, n_pool, npc), dtype=jnp.int32)
+            out = mops.match_pairs_pool(pool, v_pool, ai, bi)
+            float(out.astype(jnp.float32).sum())       # warmup + sync
+            reps = 8
+            t0 = time.time()
+            for _ in range(reps - 1):
+                mops.match_pairs_pool(pool, v_pool, ai, bi)
+            out = mops.match_pairs_pool(pool, v_pool, ai, bi)
+            float(out.astype(jnp.float32).sum())
+            t_m = max(time.time() - t0, 1e-9)
+            tf_m = npc * reps * 2 * K_big * K_big * 128 / t_m / 1e12
+            util["matching_at_scale_tflops"] = round(tf_m, 2)
+            util["matching_at_scale_frac_of_peak"] = (
+                round(tf_m / peak_tflops, 4) if peak_tflops else None)
+            util["matching_pool_upload_s_48img"] = round(t_up, 2)
+            log(f"matching at scale: {tf_m:.1f} TFLOP/s "
+                f"({tf_m / peak_tflops:.1%} of peak), pool upload {t_up:.1f}s")
 
         # dense phase (north star: fused points/sec per chip). Timed on the
         # steady-state second pass like the sparse stages.

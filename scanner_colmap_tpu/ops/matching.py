@@ -55,6 +55,57 @@ def _top2(sim: jax.Array):
     return best, second, best_idx
 
 
+# bf16 bias for the packed reductions: sim in [-1, 1] shifts to [1, 3], all
+# positive, where the bf16 bit pattern is monotone — so (value bits << 16 |
+# complemented index) reduces value AND first-index argmax in ONE max pass
+NEG_BF16 = -2.0
+
+
+def _pack_bf16(sim_bf16: jax.Array, idx: jax.Array):
+    bits = jax.lax.bitcast_convert_type(
+        sim_bf16 + jnp.bfloat16(2.0), jnp.uint16).astype(jnp.uint32)
+    return (bits << 16) | (0xFFFF - idx.astype(jnp.uint32))
+
+
+def _unpack_bf16(packed: jax.Array):
+    val = jax.lax.bitcast_convert_type(
+        (packed >> 16).astype(jnp.uint16), jnp.bfloat16) - jnp.bfloat16(2.0)
+    return val.astype(jnp.float32), (0xFFFF - (packed & 0xFFFF)).astype(jnp.int32)
+
+
+def _match_from_sim_bf16(sim: jax.Array, valid1, valid2, max_ratio,
+                         max_distance, cross_check):
+    """Ratio-test + cross-check decisions from a raw bf16 similarity.
+
+    The packed single-pass max+argmax formulation (round-5): each fused
+    matmul+reduction pass on TPU runs ~2x the argmax/take_along/one_hot
+    chain, lifting the matcher from ~4% to ~7.4% of bf16 MXU peak at the
+    K=2048 capacity shape. Quantization: best/second are bf16 roundings of
+    the f32-accumulated similarity — the same precision class as the bf16
+    matmul itself (see _sim_matmul's note); tie-breaks remain
+    first-index, matching the f32 path."""
+    K1, K2 = sim.shape
+    simm = jnp.where(valid2[None, :], sim, jnp.bfloat16(NEG_BF16))
+    cols = jax.lax.broadcasted_iota(jnp.uint32, sim.shape, 1)
+    pmax = jnp.max(_pack_bf16(simm, cols), axis=-1)
+    best, best_idx = _unpack_bf16(pmax)
+    second = jnp.max(
+        jnp.where(cols == best_idx.astype(jnp.uint32)[:, None],
+                  jnp.bfloat16(NEG_BF16), simm), axis=-1).astype(jnp.float32)
+    dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    dist2 = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    ok = valid1 & (best > -1.0) & (dist < max_distance)
+    ok &= dist < max_ratio * dist2
+    if cross_check:
+        rows = jax.lax.broadcasted_iota(jnp.uint32, sim.shape, 0)
+        bits = jax.lax.bitcast_convert_type(
+            simm + jnp.bfloat16(2.0), jnp.uint16).astype(jnp.uint32) << 16
+        packed_r = jnp.where(valid1[:, None], bits, 0) | (0xFFFF - rows)
+        rev = (0xFFFF - (jnp.max(packed_r, axis=0) & 0xFFFF)).astype(jnp.int32)
+        ok &= rev[best_idx] == jnp.arange(K1)
+    return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
+
+
 @functools.partial(jax.jit, static_argnames=("cross_check", "precision"))
 def match_descriptors(
     desc1: jax.Array,
@@ -71,9 +122,17 @@ def match_descriptors(
     Returns (match_idx (N,) int32 into desc2 or -1, valid (N,) bool).
     Semantics follow COLMAP FindBestMatches: angular distance threshold,
     Lowe ratio test in angular space, optional mutual-best cross check.
+
+    precision="bf16" (default) runs the packed single-pass reductions on a
+    raw bf16 similarity (_match_from_sim_bf16 — ~1.8x the f32 chain on
+    TPU); "f32" keeps the exact f32-accumulated path.
     """
     d1 = normalize_descriptors(desc1)
     d2 = normalize_descriptors(desc2)
+    if precision == "bf16":
+        sim = jnp.dot(d1.astype(jnp.bfloat16), d2.astype(jnp.bfloat16).T)
+        return _match_from_sim_bf16(sim, valid1, valid2, max_ratio,
+                                    max_distance, cross_check)
     sim = _sim_matmul(d1, d2, precision)  # (N, M) MXU
     sim = jnp.where(valid2[None, :], sim, NEG)
 
@@ -92,6 +151,53 @@ def match_descriptors(
         ok &= rev_best[best_idx] == jnp.arange(desc1.shape[0])
 
     return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
+
+
+# ---------------------------------------------------------------------------
+# Device-resident descriptor pool (round-5 collection-scale path)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def normalize_pool(desc_pool: jax.Array) -> jax.Array:
+    """(N_img, K, 128) raw (uint8) descriptor pool -> L2-normalized bf16.
+
+    The pool uploads ONCE as uint8 (the measured tunnel link moves
+    ~52 MB/s, so the old per-bank f32 re-upload dominated collection-scale
+    matching: 10k images re-uploaded ~11 GB where the u8 pool is 2.6 GB,
+    once) and normalizes on device. Padded rows are zero and stay zero."""
+    f = desc_pool.astype(jnp.float32)
+    n = jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
+    return (f / n).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("max_ratio", "max_distance",
+                                             "cross_check", "precision"))
+def match_pairs_pool(pool, valid, ai, bi, max_ratio: float = 0.8,
+                     max_distance: float = 0.7, cross_check: bool = True,
+                     precision: str = "bf16"):
+    """Match scheduled pairs (ai[i], bi[i]) from a resident pool.
+
+    pool: (N_img, K, 128) bf16 normalized (normalize_pool); valid:
+    (N_img, K) bool; ai/bi: (NP,) int32. Returns (NP, K) int32 match
+    indices (-1 = none). Decision-for-decision identical to
+    match_descriptors at the same precision — same similarity operands,
+    same reduction formulation — so banked and resident schedules of the
+    same collection produce the same matching table."""
+    def per_pair(a, b):
+        d1, d2 = pool[a], pool[b]
+        v1, v2 = valid[a], valid[b]
+        if precision == "bf16":
+            sim = jnp.dot(d1, d2.T)
+            idx, ok = _match_from_sim_bf16(sim, v1, v2, max_ratio,
+                                           max_distance, cross_check)
+        else:
+            idx, ok = match_descriptors(d1, d2, v1, v2, max_ratio=max_ratio,
+                                        max_distance=max_distance,
+                                        cross_check=cross_check,
+                                        precision=precision)
+        return jnp.where(ok, idx, -1).astype(jnp.int32)
+
+    return jax.vmap(per_pair)(ai, bi)
 
 
 @functools.partial(jax.jit, static_argnames=("cross_check", "precision"))

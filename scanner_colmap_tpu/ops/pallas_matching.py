@@ -126,6 +126,103 @@ def top2_similarity(d1: jax.Array, d2: jax.Array, valid2: jax.Array,
     return best[:, 0], second[:, 0], idx[:, 0]
 
 
+def _pair_kernel(ai_ref, bi_ref, da_ref, db_ref, vb_ref, best_ref,
+                 second_ref, idx_ref, mutual_ref, *, cross_check: bool):
+    """One scheduled pair per grid step: similarity + top-2 ratio test +
+    mutual-best cross check, entirely in VMEM (the (K, K) similarity is
+    never written to HBM — the round-5 resident-pool path's whole point:
+    the XLA path re-runs the matmul per reduction consumer and lands at
+    ~4% of the measured pure-matmul rate; this kernel does one matmul and
+    VMEM-local reductions).
+
+    Semantics mirror matching.match_descriptors exactly: f32-accumulated
+    bf16 similarity, NEG column masking, first-index argmax tie-breaks.
+    Row (query-side) validity needs no mask input: padded pool rows are
+    zero vectors, so their best similarity is 0 -> angular distance pi/2
+    fails max_distance; and SIFT descriptors are non-negative, so a zero
+    row never outranks a genuine column maximum in the cross check
+    (ties at exactly 0 are rejected by max_distance anyway)."""
+    da = da_ref[0]                       # (K, 128) bf16
+    db = db_ref[0]                       # (K, 128) bf16
+    vb = vb_ref[0]                       # (1, K) f32 0/1
+    K = da.shape[0]
+    sim = jax.lax.dot_general(
+        da, db, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (K, K)
+    simm = jnp.where(vb > 0, sim, NEG)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, simm.shape, 1)
+    big = jnp.int32(1 << 30)
+    best = jnp.max(simm, axis=1)                         # (K,)
+    bidx = jnp.min(jnp.where(simm >= best[:, None], col, big), axis=1)
+    second = jnp.max(jnp.where(col == bidx[:, None], NEG, simm), axis=1)
+    best_ref[0, 0] = best
+    second_ref[0, 0] = second
+    idx_ref[0, 0] = bidx
+
+    if cross_check:
+        # first-row column argmax, then mutual-best without any gather:
+        # mutual[r] = any_c (c == bidx[r]) & (r == rev[c])
+        row = jax.lax.broadcasted_iota(jnp.int32, simm.shape, 0)
+        cmax = jnp.max(simm, axis=0)                     # (K,)
+        rev = jnp.min(jnp.where(simm >= cmax[None, :], row, big), axis=0)
+        mutual = jnp.any((col == bidx[:, None]) & (row == rev[None, :]),
+                         axis=1)
+        mutual_ref[0, 0] = mutual.astype(jnp.int32)
+    else:
+        mutual_ref[0, 0] = jnp.ones((K,), jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_ratio", "max_distance",
+                                    "cross_check", "interpret"))
+def match_pairs_resident(pool, vb, ai, bi, max_ratio: float = 0.8,
+                         max_distance: float = 0.7, cross_check: bool = True,
+                         interpret: bool = False):
+    """Match NP scheduled pairs against a device-resident descriptor pool.
+
+    pool: (N_img, K, 128) bf16 L2-normalized descriptors (padded rows 0).
+    vb:   (N_img, K) f32 0/1 keypoint validity.
+    ai/bi: (NP,) int32 image indices per scheduled pair.
+    Returns (NP, K) int32 match indices into image bi (-1 = no match).
+
+    Scalar-prefetched gather: the per-pair descriptor blocks are DMA'd by
+    index map from the prefetched ai/bi, so HBM traffic is O(pairs * K)
+    descriptor bytes — no host round trip, no per-bank re-upload."""
+    NP = ai.shape[0]
+    N_img, K, D = pool.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NP,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda i, ai, bi: (ai[i], 0, 0)),
+            pl.BlockSpec((1, K, D), lambda i, ai, bi: (bi[i], 0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i, ai, bi: (bi[i], 0, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, K), lambda i, ai, bi: (i, 0, 0))
+            for _ in range(4)),
+    )
+    best, second, bidx, mutual = pl.pallas_call(
+        functools.partial(_pair_kernel, cross_check=cross_check),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NP, 1, K), dt)
+            for dt in (jnp.float32, jnp.float32, jnp.int32, jnp.int32)),
+        interpret=interpret,
+    )(ai, bi, pool, pool, vb.astype(jnp.float32)[:, None, :])
+    best, second = best[:, 0, :], second[:, 0, :]
+    bidx, mutual = bidx[:, 0, :], mutual[:, 0, :]
+    # the angular tests run in XLA on the reduced (NP, K) vectors (arccos
+    # is not lowerable in Mosaic): bitwise the same decisions as
+    # matching.match_descriptors' f32 arccos path
+    dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    dist2 = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    ok = (best > -1.0) & (dist < max_distance) & (dist < max_ratio * dist2)
+    ok &= mutual > 0
+    return jnp.where(ok, bidx, -1).astype(jnp.int32)
+
+
 def match_descriptors_pallas(
     desc1, desc2, valid1, valid2,
     max_ratio: float = 0.8,

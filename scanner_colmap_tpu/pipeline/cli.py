@@ -92,6 +92,22 @@ def build_parser() -> argparse.ArgumentParser:
                               "step)")
     msh.add_argument("--mesh_path", help="write triangle mesh as PLY")
 
+    idb = sub.add_parser("import_colmap_db", parents=[common],
+                         help="import a COLMAP SQLite database.db as the "
+                              "frames/extraction/matching tables (replay "
+                              "any COLMAP-processed dataset through "
+                              "mapping -> merge -> dense)")
+    idb.add_argument("--database_path", required=True)
+    idb.add_argument("--no_pose_rebuild", action="store_true",
+                     help="skip rebuilding pose/tri_angle from E for "
+                          "calibrated pairs")
+
+    edb = sub.add_parser("export_colmap_db", parents=[common],
+                         help="export the store's features/matches as a "
+                              "COLMAP database.db for stock-COLMAP "
+                              "cross-validation")
+    edb.add_argument("--database_path", required=True)
+
     st = sub.add_parser("set", parents=[common], help="write dotted-key config overrides into "
                                     "a JSON config file (e.g. "
                                     "matching.overlap=5 sift.upright=true)")
@@ -234,6 +250,13 @@ def _dispatch_stage(args, cfg, stages, store):
         stages.run_fusion(cfg, store, ply_path=args.ply_path)
     elif args.stage == "meshing":
         stages.run_meshing(cfg, store, mesh_path=args.mesh_path)
+    elif args.stage == "import_colmap_db":
+        stages.import_colmap_db(cfg, store,
+                                database_path=args.database_path,
+                                recompute_pose=not args.no_pose_rebuild)
+    elif args.stage == "export_colmap_db":
+        stages.export_colmap_db(cfg, store,
+                                database_path=args.database_path)
     elif args.stage == "all":
         stages.run_all(cfg, export_path=args.export_path,
                        ply_path=args.ply_path, dense=not args.sparse_only,

@@ -674,14 +674,46 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         B = max((256 << 20) // (K_max * 128 * 4) - W, 8)
     n_bank = min(B + W, n_img)  # resident rows per bank (fixed jit signature)
 
+    # execution plan (round-5): device-RESIDENT pool when the u8 pool plus
+    # its normalized bf16 copy fit the budget — descriptors upload once
+    # over the ~52 MB/s link instead of once per bank (at 10k images the
+    # f32 bank re-upload alone was ~11 GB = most of the 194 s stage);
+    # "banked" streams as before. Same matching table either way.
+    pool_bytes = n_img * K_max * 128 * 3     # u8 + bf16 normalized copy
+    resident = (m.execution == "resident"
+                or (m.execution == "auto"
+                    and pool_bytes <= m.resident_pool_mb << 20))
+
+    # banks carry the descriptors' NATIVE dtype (uint8 COLMAP wire format):
+    # the device normalizes either way, and u8 moves 4x fewer bytes
+    bank_dtype = desc[image_ids[0]].dtype if n_img else np.uint8
+
     def build_bank(s0):
-        Db = np.zeros((n_bank, K_max, 128), np.float32)
+        Db = np.zeros((n_bank, K_max, 128), bank_dtype)
         Vb = np.zeros((n_bank, K_max), bool)
         for r in range(min(n_bank, n_img - s0)):
-            d = desc[image_ids[s0 + r]].astype(np.float32)
+            d = desc[image_ids[s0 + r]]
             Db[r, :len(d)] = d
             Vb[r, :len(d)] = True
         return Db, Vb
+
+    def upload_pool(chunk_imgs: int = 512):
+        """One-time chunked u8 upload + on-device normalize to bf16."""
+        Vb = np.zeros((n_img, K_max), bool)
+        blocks = []
+        for s in range(0, n_img, chunk_imgs):
+            e = min(s + chunk_imgs, n_img)
+            blk = np.zeros((e - s, K_max, 128), bank_dtype)
+            for r in range(s, e):
+                d = desc[image_ids[r]]
+                blk[r - s, :len(d)] = d
+                Vb[r, :len(d)] = True
+            blocks.append(jnp.asarray(blk))
+        raw = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
+        del blocks
+        pool = matching_ops.normalize_pool(raw)
+        del raw
+        return pool, jnp.asarray(Vb)
 
     # group scheduled pairs by the bank that owns their first row; within a
     # bank every partner row b <= a + W is resident
@@ -723,10 +755,8 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         probe_thread = threading.Thread(target=_probe_worker, daemon=True)
         probe_thread.start()
 
-    # ---- phase 1: banked matching (pipelined: next bank dispatches before
-    # the previous bank's matches download) --------------------------------
-    match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check,
-                              m.precision)
+    # ---- phase 1: matching (pipelined: the next dispatch goes out before
+    # the previous one's matches download) ---------------------------------
     cand = []  # (row_a, row_b, sel, idx_row)
 
     def drain_bank(pairs_blk, idx_dev):
@@ -736,24 +766,45 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
             if len(sel) >= m.min_num_inliers:
                 cand.append((a, b, sel, idx_all[n]))
 
+    pool = valid_pool = None
     pending = None
-    for blk in sorted(by_bank):
-        pairs_blk = by_bank[blk]
-        s0 = blk * B
-        Db, Vb = build_bank(s0)
-        NP1 = 8
-        while NP1 < len(pairs_blk):
-            NP1 *= 2
-        ai = np.zeros(NP1, np.int32)
-        bi = np.zeros(NP1, np.int32)
-        for n, (a, b) in enumerate(pairs_blk):
-            ai[n], bi[n] = a - s0, b - s0
-        idx_dev = match_all(jnp.asarray(Db), jnp.asarray(Vb),
-                            jnp.asarray(ai), jnp.asarray(bi))
-        _copy_to_host_async(idx_dev)
-        if pending is not None:
-            drain_bank(*pending)
-        pending = (pairs_blk, idx_dev)
+    if resident:
+        pool, valid_pool = upload_pool()
+        NPC = max(int(m.resident_pair_chunk), 8)
+        for c0 in range(0, len(sched), NPC):
+            chunk = sched[c0:c0 + NPC]
+            ai = np.zeros(NPC, np.int32)
+            bi = np.zeros(NPC, np.int32)
+            for n, (a, b) in enumerate(chunk):
+                ai[n], bi[n] = a, b
+            idx_dev = matching_ops.match_pairs_pool(
+                pool, valid_pool, jnp.asarray(ai), jnp.asarray(bi),
+                max_ratio=m.max_ratio, max_distance=m.max_distance,
+                cross_check=m.cross_check, precision=m.precision)
+            _copy_to_host_async(idx_dev)
+            if pending is not None:
+                drain_bank(*pending)
+            pending = (chunk, idx_dev)
+    else:
+        match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check,
+                                  m.precision)
+        for blk in sorted(by_bank):
+            pairs_blk = by_bank[blk]
+            s0 = blk * B
+            Db, Vb = build_bank(s0)
+            NP1 = 8
+            while NP1 < len(pairs_blk):
+                NP1 *= 2
+            ai = np.zeros(NP1, np.int32)
+            bi = np.zeros(NP1, np.int32)
+            for n, (a, b) in enumerate(pairs_blk):
+                ai[n], bi[n] = a - s0, b - s0
+            idx_dev = match_all(jnp.asarray(Db), jnp.asarray(Vb),
+                                jnp.asarray(ai), jnp.asarray(bi))
+            _copy_to_host_async(idx_dev)
+            if pending is not None:
+                drain_bank(*pending)
+            pending = (pairs_blk, idx_dev)
     if pending is not None:
         drain_bank(*pending)
 
@@ -823,41 +874,63 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         loop_pairs -= set(sched)
         n_loop_pairs = len(loop_pairs)
 
-        batch: list = []
+        if resident:
+            # the pool holds every image: loop candidates are just more
+            # (a, b) chunks through the same resident kernel
+            NPC = max(int(m.resident_pair_chunk), 8)
+            lp = sorted(loop_pairs)
+            for c0 in range(0, len(lp), NPC):
+                chunk = lp[c0:c0 + NPC]
+                ai = np.zeros(NPC, np.int32)
+                bi = np.zeros(NPC, np.int32)
+                for n, (a, b) in enumerate(chunk):
+                    ai[n], bi[n] = a, b
+                idx_all = np.asarray(matching_ops.match_pairs_pool(
+                    pool, valid_pool, jnp.asarray(ai), jnp.asarray(bi),
+                    max_ratio=m.max_ratio, max_distance=m.max_distance,
+                    cross_check=m.cross_check, precision=m.precision))
+                for n, (a, b) in enumerate(chunk):
+                    sel = np.nonzero(idx_all[n] >= 0)[0]
+                    if len(sel) >= m.min_num_inliers:
+                        cand.append((a, b, sel, idx_all[n]))
+        else:
+            match_all = _match_all_fn(m.max_ratio, m.max_distance,
+                                      m.cross_check, m.precision)
+            batch: list = []
 
-        def flush_loop_batch():
-            nonlocal batch
-            if not batch:
-                return
-            rows = sorted({r for p in batch for r in p})
-            Db = np.zeros((n_bank, K_max, 128), np.float32)
-            Vb = np.zeros((n_bank, K_max), bool)
-            for n, r in enumerate(rows):
-                d = desc[image_ids[r]].astype(np.float32)
-                Db[n, :len(d)] = d
-                Vb[n, :len(d)] = True
-            row_of = {r: n for n, r in enumerate(rows)}
-            NPL = 8
-            while NPL < len(batch):
-                NPL *= 2
-            ai = np.zeros(NPL, np.int32)
-            bi = np.zeros(NPL, np.int32)
-            for n, (a, b) in enumerate(batch):
-                ai[n], bi[n] = row_of[a], row_of[b]
-            idx_all = np.asarray(match_all(
-                jnp.asarray(Db), jnp.asarray(Vb),
-                jnp.asarray(ai), jnp.asarray(bi)))
-            for n, (a, b) in enumerate(batch):
-                sel = np.nonzero(idx_all[n] >= 0)[0]
-                if len(sel) >= m.min_num_inliers:
-                    cand.append((a, b, sel, idx_all[n]))
-            batch = []
+            def flush_loop_batch():
+                nonlocal batch
+                if not batch:
+                    return
+                rows = sorted({r for p in batch for r in p})
+                Db = np.zeros((n_bank, K_max, 128), bank_dtype)
+                Vb = np.zeros((n_bank, K_max), bool)
+                for n, r in enumerate(rows):
+                    d = desc[image_ids[r]]
+                    Db[n, :len(d)] = d
+                    Vb[n, :len(d)] = True
+                row_of = {r: n for n, r in enumerate(rows)}
+                NPL = 8
+                while NPL < len(batch):
+                    NPL *= 2
+                ai = np.zeros(NPL, np.int32)
+                bi = np.zeros(NPL, np.int32)
+                for n, (a, b) in enumerate(batch):
+                    ai[n], bi[n] = row_of[a], row_of[b]
+                idx_all = np.asarray(match_all(
+                    jnp.asarray(Db), jnp.asarray(Vb),
+                    jnp.asarray(ai), jnp.asarray(bi)))
+                for n, (a, b) in enumerate(batch):
+                    sel = np.nonzero(idx_all[n] >= 0)[0]
+                    if len(sel) >= m.min_num_inliers:
+                        cand.append((a, b, sel, idx_all[n]))
+                batch = []
 
-        for p in sorted(loop_pairs):
-            if len({p[0], p[1]} | {r for q in batch for r in q}) > n_bank:
-                flush_loop_batch()
-            batch.append(p)
-        flush_loop_batch()
+            for p in sorted(loop_pairs):
+                if len({p[0], p[1]} | {r for q in batch for r in q}) > n_bank:
+                    flush_loop_batch()
+                batch.append(p)
+            flush_loop_batch()
         log.info("matching: %d loop-closure candidates past the "
                  "separation/rank gate", n_loop_pairs)
 
@@ -944,6 +1017,7 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         "two_view_geometry": np.stack(tvg_rows) if tvg_rows else np.zeros((0, 37)),
         "matches": match_lists,
     }, meta={"stage": "matching", "config": vars(m),
+             "execution": "resident" if resident else "banked",
              "bank_images": B, "num_banks": len(by_bank),
              "scheduled_pairs": len(sched), "k_max": K_max,
              "loop_closure": dict(loop_meta,
@@ -1361,6 +1435,219 @@ def run_prepare_patch_match(cfg: PipelineConfig,
     }, meta={"stage": "prepare_patch_match", "canvas": list(canvas)})
     log.info("prepare_patch_match: %d images", len(rows["image_id"]))
     return len(rows["image_id"])
+
+
+def import_colmap_db(cfg: PipelineConfig,
+                     store: Optional[ArtifactStore] = None,
+                     database_path: str = "",
+                     recompute_pose: bool = True) -> int:
+    """Import a COLMAP SQLite ``database.db`` into the artifact store.
+
+    Writes the ``frames``, ``extraction``, and ``matching`` tables exactly
+    as stages 1-3 would, so any real dataset COLMAP has processed (the
+    reference's demonstrated context is Gerrard Hall, README.md:5-6)
+    replays through mapping -> merge -> dense with zero new code — the
+    database is the reference pipeline's actual interchange surface
+    (incremental_mapping.cc:281-293 builds one per cluster). Images are
+    ordered by name (the ordered-axis assumption, prepare_images.py:13);
+    original COLMAP image ids are preserved.
+
+    COLMAP's db stores no triangulation angle, and older schemas no
+    relative pose; with ``recompute_pose`` both are rebuilt from E for
+    CALIBRATED pairs (pose_from_essential cheirality voting), because the
+    mapper's init-pair selection ranks by tri_angle. Returns the number
+    of imported image pairs."""
+    from scanner_colmap_tpu.ops import two_view as tv_import
+    from scanner_colmap_tpu.utils import colmap_db
+
+    store = store or ArtifactStore(cfg.store_path)
+    db = colmap_db.read_database(database_path)
+    order = sorted(db["images"], key=lambda i: db["images"][i]["name"])
+    n_img = len(order)
+    max_np = max([camlib.MODEL_NUM_PARAMS[camlib.PINHOLE]]
+                 + [camlib.MODEL_NUM_PARAMS.get(
+                     colmap_db._DOWNGRADE.get(c["model"], c["model"]), 4)
+                    for c in db["cameras"].values()])
+
+    downgraded = []
+    kp_by_id: Dict[int, np.ndarray] = {}
+    keypoints, descriptors, cam_rows = [], [], []
+    widths, heights, names = [], [], []
+    for iid in order:
+        im = db["images"][iid]
+        cam = db["cameras"][im["camera_id"]]
+        model, params = cam["model"], np.asarray(cam["params"], np.float64)
+        if model in colmap_db._DOWNGRADE:
+            downgraded.append(im["name"])
+            model = colmap_db._DOWNGRADE[model]
+            params = params[:camlib.MODEL_NUM_PARAMS[model]]
+        if model not in camlib.MODEL_NUM_PARAMS:
+            raise ValueError(
+                f"unsupported COLMAP camera model {model} for {im['name']}")
+        kp_raw = db["keypoints"].get(iid, np.zeros((0, 2), np.float32))
+        kp4 = colmap_db._keypoints_to_xyso(np.asarray(kp_raw))
+        kp_by_id[iid] = kp4
+        keypoints.append(kp4)
+        descriptors.append(np.asarray(
+            db["descriptors"].get(iid, np.zeros((0, 128), np.uint8)),
+            np.uint8))
+        row = np.zeros(5 + max_np)
+        row[0], row[1], row[2] = model, cam["width"], cam["height"]
+        row[3] = 1.0 if cam["prior_focal_length"] else 0.0
+        row[4] = 1.0                       # features at native resolution
+        row[5:5 + len(params)] = params
+        cam_rows.append(row)
+        widths.append(cam["width"])
+        heights.append(cam["height"])
+        names.append(im["name"].encode())  # store list columns are bytes
+
+    store.write_table("frames", {
+        "image_id": np.asarray(order, np.int64),
+        "path": names,
+        "width": np.asarray(widths, np.int32),
+        "height": np.asarray(heights, np.int32),
+    }, meta={"stage": "prepare_images", "image_path": cfg.image_path,
+             "source": {"colmap_db": database_path}, "stride": 1})
+    store.write_table("extraction", {
+        "image_id": np.asarray(order, np.int64),
+        "keypoints": keypoints,
+        "descriptors": descriptors,
+        "camera": (np.stack(cam_rows) if cam_rows
+                   else np.zeros((0, 5 + max_np))),
+    }, meta={"stage": "extraction",
+             "source": {"colmap_db": database_path,
+                        "distortion_dropped": downgraded}})
+
+    # ---- matching table from the db's verified two-view geometries ------
+    cam_of = {iid: db["cameras"][db["images"][iid]["camera_id"]]
+              for iid in order}
+
+    def K_of(iid):
+        c = cam_of[iid]
+        p = np.asarray(c["params"])
+        if c["model"] in (camlib.PINHOLE, colmap_db._OPENCV,
+                          colmap_db._FULL_OPENCV):
+            return np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+        return np.array([[p[0], 0, p[1]], [0, p[0], p[2]], [0, 0, 1.0]])
+
+    pose_fn = None
+    if recompute_pose:
+        pose_fn = jax.jit(tv_import.pose_from_essential)
+    pair_ids, tvg_rows, match_lists = [], [], []
+    n_pose_rebuilt = 0
+    for (i1, i2), g in sorted(db["two_view_geometries"].items()):
+        inl = np.asarray(g["inlier_matches"], np.int64).reshape(-1, 2)
+        if len(inl) == 0 or g["config"] in (tv_import.UNDEFINED,
+                                            tv_import.DEGENERATE):
+            continue
+        row = np.zeros(37)
+        row[0], row[1] = g["config"], len(inl)
+        q, t = g.get("qvec"), g.get("tvec")
+        has_pose = (q is not None and np.any(np.asarray(q) != 0))
+        if has_pose:
+            row[3:7], row[7:10] = np.asarray(q), np.asarray(t)
+        for sl, M in ((slice(10, 19), g["E"]), (slice(19, 28), g["F"]),
+                      (slice(28, 37), g["H"])):
+            if M is not None:
+                row[sl] = np.asarray(M).ravel()
+        # rebuild pose/tri_angle from E: the db has no tri_angle column and
+        # (pre-3.7) possibly no pose; init-pair ranking needs both
+        if (pose_fn is not None and g["E"] is not None
+                and g["config"] in (tv_import.CALIBRATED,
+                                    tv_import.MULTIPLE)
+                and len(inl) >= 5):
+            x1 = kp_by_id[i1][inl[:, 0], :2]
+            x2 = kp_by_id[i2][inl[:, 1], :2]
+            K1inv, K2inv = np.linalg.inv(K_of(i1)), np.linalg.inv(K_of(i2))
+            h1 = np.concatenate([x1, np.ones((len(x1), 1))], 1) @ K1inv.T
+            h2 = np.concatenate([x2, np.ones((len(x2), 1))], 1) @ K2inv.T
+            P = _round_up(len(inl), 256)
+            x1n = np.zeros((P, 2)); x1n[:len(inl)] = h1[:, :2] / h1[:, 2:]
+            x2n = np.zeros((P, 2)); x2n[:len(inl)] = h2[:, :2] / h2[:, 2:]
+            mask = np.zeros(P, bool); mask[:len(inl)] = True
+            qe, te, tri, ngood = pose_fn(
+                jnp.asarray(np.asarray(g["E"])), jnp.asarray(x1n),
+                jnp.asarray(x2n), jnp.asarray(mask))
+            row[2] = float(tri)
+            if not has_pose:
+                row[3:7], row[7:10] = np.asarray(qe), np.asarray(te)
+                n_pose_rebuilt += 1
+        pair_ids.append((i1, i2))
+        tvg_rows.append(row)
+        match_lists.append(inl.astype(np.int32))
+
+    store.write_table("matching", {
+        "pair_image_ids": np.asarray(pair_ids, np.int64).reshape(-1, 2),
+        "two_view_geometry": (np.stack(tvg_rows) if tvg_rows
+                              else np.zeros((0, 37))),
+        "matches": match_lists,
+    }, meta={"stage": "matching",
+             "source": {"colmap_db": database_path,
+                        "raw_match_pairs": len(db["matches"]),
+                        "poses_rebuilt": n_pose_rebuilt}})
+    log.info("import_colmap_db: %d images, %d verified pairs "
+             "(%d poses rebuilt from E)%s", n_img, len(pair_ids),
+             n_pose_rebuilt,
+             f", distortion dropped for {len(downgraded)} OPENCV images"
+             if downgraded else "")
+    return len(pair_ids)
+
+
+def export_colmap_db(cfg: PipelineConfig,
+                     store: Optional[ArtifactStore] = None,
+                     database_path: str = "") -> int:
+    """Export the store's extraction+matching tables as a COLMAP
+    ``database.db`` — the inverse of :func:`import_colmap_db`, so this
+    framework's features/matches can be handed to stock COLMAP for
+    cross-validation (and the pair round-trips in tests)."""
+    from scanner_colmap_tpu.utils import colmap_db
+
+    store = store or ArtifactStore(cfg.store_path)
+    image_ids, kp, desc, cams = _load_extraction(store)
+    frames = store.read_table("frames", columns=["image_id", "path"])
+    name_of = {int(i): (p.decode() if isinstance(p, bytes) else str(p))
+               for i, p in zip(frames["image_id"], frames["path"])}
+    cameras, images, keypoints, descriptors = {}, {}, {}, {}
+    for iid in image_ids:
+        model_id, params, w, h, prior = cams[iid]
+        cameras[iid] = {"model": model_id, "width": w, "height": h,
+                        "params": np.asarray(params, np.float64),
+                        "prior_focal_length": prior}
+        images[iid] = {"name": name_of.get(iid, f"image_{iid}"),
+                       "camera_id": iid}
+        keypoints[iid] = np.asarray(kp[iid], np.float32)
+        descriptors[iid] = np.asarray(desc[iid], np.uint8)
+
+    mt = store.read_table("matching")
+    pids = np.asarray(mt["pair_image_ids"], np.int64).reshape(-1, 2)
+    matches, tvgs = {}, {}
+    for n in range(len(pids)):
+        i1, i2 = int(pids[n, 0]), int(pids[n, 1])
+        row = np.asarray(mt["two_view_geometry"][n], np.float64)
+        inl = np.asarray(mt["matches"][n], np.uint32).reshape(-1, 2)
+        key = (i1, i2)
+        if key in tvgs:      # multiple_models: keep the strongest row,
+            if row[1] <= tvgs[key]["_n"]:      # union the inlier matches
+                inl = np.unique(np.concatenate(
+                    [tvgs[key]["inlier_matches"], inl]), axis=0)
+                tvgs[key]["inlier_matches"] = inl
+                matches[key] = inl
+                continue
+            inl = np.unique(np.concatenate(
+                [tvgs[key]["inlier_matches"], inl]), axis=0)
+        matches[key] = inl
+        tvgs[key] = {"config": int(row[0]), "inlier_matches": inl,
+                     "qvec": row[3:7], "tvec": row[7:10],
+                     "E": row[10:19].reshape(3, 3),
+                     "F": row[19:28].reshape(3, 3),
+                     "H": row[28:37].reshape(3, 3), "_n": row[1]}
+    for g in tvgs.values():
+        g.pop("_n")
+    colmap_db.write_database(database_path, cameras, images, keypoints,
+                             descriptors, matches, tvgs)
+    log.info("export_colmap_db: %d images, %d pairs -> %s",
+             len(image_ids), len(tvgs), database_path)
+    return len(tvgs)
 
 
 def cam_scales(store: ArtifactStore) -> Dict[int, float]:

@@ -61,6 +61,18 @@ class MatchingConfig:
     # resident at a time, so matching memory is O(bank) not O(collection).
     # 0 = auto-size the bank to ~256 MB of descriptors.
     bank_images: int = 0
+    # Round-5 execution plan: "auto" keeps the whole collection's
+    # descriptors device-resident — uploaded ONCE as uint8 and normalized
+    # to a bf16 pool on device — whenever pool + normalized copy fit
+    # resident_pool_mb; else it streams banks. The measured tunnel link
+    # moves ~52 MB/s, so per-bank re-upload dominated collection-scale
+    # matching (10k: ~11 GB f32 re-upload vs a 2.6 GB one-time u8 pool).
+    # Both plans produce the identical matching table (same similarity
+    # operands and reduction formulation).
+    execution: str = "auto"             # auto | resident | banked
+    resident_pool_mb: int = 6144
+    # pairs per device dispatch in the resident plan
+    resident_pair_chunk: int = 512
     # geometric-verification batch: pairs per device dispatch (bounds the
     # padded keypoint buffers at large pair counts)
     verify_batch_pairs: int = 1024

@@ -42,6 +42,12 @@ def main():
     cfg.mapper.mode = "host"
     cfg.mapper.cluster_size = 4
     cfg.mapper.cluster_overlap = 2
+    # tiny dense config (the e2e-test shapes): the dense stages must also
+    # cross a REAL process boundary (VERDICT r4 #8b)
+    cfg.patch_match.max_image_size = 96
+    cfg.patch_match.overlap = 3
+    cfg.patch_match.num_iterations = 6
+    cfg.patch_match.window_radius = 3
 
     store = ArtifactStore(store_path)
     if pid == 0:
@@ -52,6 +58,18 @@ def main():
     dist.run_matching_distributed(cfg, store)
     dist.run_mapping_distributed(cfg, store)
     model = dist.run_merge_distributed(cfg, store)
+
+    # dense stages across the same real process boundary: prepare on host
+    # 0, PatchMatch block-sharded per host, fusion on host 0 over the
+    # merged depth-map table
+    if pid == 0:
+        stages.run_prepare_patch_match(cfg, store)
+    dist.barrier_via_store(store, "ppm_ready", timeout_s=300)
+    dist.run_patch_match_distributed(cfg, store)
+    if pid == 0:
+        n_fused = stages.run_fusion(cfg, store)
+        print(f"FUSED={n_fused}", flush=True)
+    dist.barrier_via_store(store, "fusion_done", timeout_s=300)
 
     if pid == 0:
         n = store.num_rows("matching")

@@ -120,3 +120,35 @@ def test_two_process_distributed_extraction_matching(tmp_path):
                                    model_ref.images[iid].qvec, atol=1e-8)
         np.testing.assert_allclose(model_d.images[iid].tvec,
                                    model_ref.images[iid].tvec, atol=1e-7)
+
+    # ---- dense parity across the real process boundary (VERDICT r4 #8b):
+    # the workers ran prepare_patch_match + block-sharded PatchMatch +
+    # fusion; rerun the dense phase single-process on the reference store
+    # and require identical depth maps (per-image seeds are index-derived,
+    # so host partitioning must not change any map) and fused-point parity
+    assert store.has_table("patch_match_shard_0")
+    assert store.has_table("patch_match_shard_1")
+    assert store.has_table("patch_match")
+    assert store.has_table("fused")
+    cfg.patch_match.max_image_size = 96
+    cfg.patch_match.overlap = 3
+    cfg.patch_match.num_iterations = 6
+    cfg.patch_match.window_radius = 3
+    stages.run_prepare_patch_match(cfg, ref_store)
+    stages.run_patch_match(cfg, ref_store)
+    stages.run_fusion(cfg, ref_store)
+    pm_d = store.read_table("patch_match")
+    pm_r = ref_store.read_table("patch_match")
+    ids_d = np.asarray(pm_d["image_id"]).ravel()
+    ids_r = np.asarray(pm_r["image_id"]).ravel()
+    assert sorted(ids_d.tolist()) == sorted(ids_r.tolist())
+    of_d = {int(i): n for n, i in enumerate(ids_d)}
+    for n_r, iid in enumerate(ids_r):
+        d = np.asarray(pm_d["depth_map"][of_d[int(iid)]])
+        r = np.asarray(pm_r["depth_map"][n_r])
+        np.testing.assert_allclose(d, r, atol=1e-6, err_msg=f"image {iid}")
+    xyz_d = np.asarray(store.read_table("fused", columns=["xyz"])["xyz"])
+    xyz_r = np.asarray(ref_store.read_table("fused", columns=["xyz"])["xyz"])
+    assert xyz_d.shape == xyz_r.shape
+    np.testing.assert_allclose(np.sort(xyz_d, axis=0),
+                               np.sort(xyz_r, axis=0), atol=1e-5)

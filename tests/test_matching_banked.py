@@ -74,6 +74,7 @@ def test_banked_identical_to_single_bank(rng, tmp_path):
     write_synth_extraction(store, rng)
     cfg = PipelineConfig(store_path=str(tmp_path))
     cfg.matching.overlap = 3
+    cfg.matching.execution = "banked"
 
     cfg.matching.bank_images = 1000  # whole collection resident
     n_single = stages.run_matching(cfg, store, out_table="matching_single")
@@ -94,6 +95,34 @@ def test_banked_identical_to_single_bank(rng, tmp_path):
     assert meta["num_banks"] >= 4
 
 
+def test_resident_identical_to_banked(rng, tmp_path):
+    """The round-5 device-resident pool plan must reproduce the banked
+    plan's matching table exactly: same pairs, TVG rows, match lists —
+    the two plans share similarity operands and reduction formulation."""
+    store = ArtifactStore(str(tmp_path))
+    write_synth_extraction(store, rng)
+    cfg = PipelineConfig(store_path=str(tmp_path))
+    cfg.matching.overlap = 3
+
+    cfg.matching.execution = "banked"
+    cfg.matching.bank_images = 3
+    n_b = stages.run_matching(cfg, store, out_table="matching_bk")
+    cfg.matching.execution = "resident"
+    cfg.matching.resident_pair_chunk = 16
+    n_r = stages.run_matching(cfg, store, out_table="matching_rs")
+
+    assert n_b == n_r > 5
+    banked = _read_pairs(store, "matching_bk")
+    res = _read_pairs(store, "matching_rs")
+    assert set(banked) == set(res)
+    for pair in banked:
+        for (tvg_b, m_b), (tvg_r, m_r) in zip(banked[pair], res[pair]):
+            np.testing.assert_array_equal(tvg_b, tvg_r)
+            np.testing.assert_array_equal(m_b, m_r)
+    assert store.read_manifest("matching_rs")["meta"]["execution"] == "resident"
+    assert store.read_manifest("matching_bk")["meta"]["execution"] == "banked"
+
+
 def test_banked_identical_under_schedule_slice(rng, tmp_path):
     """Host-sharded (schedule_slice) banked matching produces per-pair
     results identical to the unsharded run — fold_in keys make verification
@@ -103,6 +132,7 @@ def test_banked_identical_under_schedule_slice(rng, tmp_path):
     cfg = PipelineConfig(store_path=str(tmp_path))
     cfg.matching.overlap = 2
     cfg.matching.bank_images = 3
+    cfg.matching.execution = "banked"
     stages.run_matching(cfg, store, out_table="matching_full")
     stages.run_matching(cfg, store, schedule_slice=(0, 2),
                         out_table="matching_s0")
