@@ -659,6 +659,56 @@ def main():
             }
             log(f"real-texture: {real}")
 
+        # ---- REFERENCE-CAPACITY fidelity (VERDICT r4 #6): the reference
+        # operates COLMAP at stock capacities — 8192 features,
+        # max_num_matches 32768 (colmap.proto:17), full-resolution
+        # bitmaps. One hardened real-texture run at those capacities so
+        # quality at reference fidelity is a recorded number, not an
+        # extrapolation (full default-vs-capacity table:
+        # tools/exp_capacity.py + PERFORMANCE.md round-5).
+        if os.environ.get("BENCH_REAL_CAPACITY", "1") != "0" \
+                and _have_budget("real_capacity"):
+            log("reference-capacity real-texture run (2048px/8192 feats)")
+            cap_dir = os.path.join(workdir, "cap_images")
+            gt_c = synth.generate_real_texture_dataset(
+                cap_dir, num_images=10, width=2048, height=1536,
+                focal=1920.0, seed=1, num_bumps=2, exposure_jitter=0.2,
+                noise_std=2.0)
+            cfg_c = PipelineConfig()
+            cfg_c.image_path = cap_dir
+            cfg_c.store_path = os.path.join(workdir, "cap_store")
+            cfg_c.sift.max_image_size = 2048
+            cfg_c.sift.max_num_features = 8192
+            cfg_c.sift.num_octaves = 4
+            cfg_c.matching.overlap = 5
+            cfg_c.matching.max_num_matches = 32768
+            cfg_c.mapper.single_camera = True
+            cfg_c.mapper.mode = cfg.mapper.mode
+            store_c = ArtifactStore(cfg_c.store_path)
+            stages.prepare_images(cfg_c, store_c)
+
+            def cap_sparse():
+                t0 = time.time()
+                stages.run_extraction(cfg_c, store_c)
+                stages.run_matching(cfg_c, store_c)
+                stages.run_mapping(cfg_c, store_c)
+                mm = stages.run_merge(cfg_c, store_c)
+                return mm, time.time() - t0
+
+            cap_sparse()                       # warmup (2048px compiles)
+            model_c, t_cap = cap_sparse()      # steady state
+            real["reference_capacity"] = {
+                "registered": int(model_c.num_registered),
+                "num_images": 10,
+                "ate": round(float(synth.evaluate_ate(model_c, gt_c)), 4),
+                "mean_reproj_px": round(
+                    model_c.mean_reprojection_error(), 3),
+                "images_per_s": round(
+                    model_c.num_registered / max(t_cap, 1e-9), 3),
+                "wall_s": round(t_cap, 1),
+            }
+            log(f"reference capacity: {real['reference_capacity']}")
+
         # ---- SCALE section: a 200-image sparse run (BASELINE.md names 1k/10k
         # configs; bench_scale.py runs the full 1k — this keeps a scale proof
         # in the driver-recorded JSON at bounded wall clock). Executables are

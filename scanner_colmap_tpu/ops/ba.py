@@ -390,7 +390,8 @@ def _segsum_cam(vals, cam_idx, M):
 
 
 def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
-                 axis_name=None, chunk: int | None = None):
+                 axis_name=None, chunk: int | None = None,
+                 cg_segsum: str = "auto"):
     """LM trial solving the Schur camera system MATRIX-FREE with
     diagonally-preconditioned CG (Ceres ITERATIVE_SCHUR + SCHUR_JACOBI).
 
@@ -416,6 +417,17 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
         chunk = Pn
     n_chunks = Pn // chunk
     assert Pn % chunk == 0, f"points {Pn} must divide by chunk {chunk}"
+    # CG matvec gather/scatter plan (round-5, VERDICT r4 #4): XLA's TPU
+    # gather of (8 f32)-rows runs at ~2.5 GB/s and segment_sum scatter is
+    # no better — together they were ~75% of each matvec at M=1024. The
+    # "onehot" plan expresses BOTH as (c*T, M) bf16 one-hot matmuls on
+    # the MXU (the one-hot is exact in bf16; x/z quantize to bf16, an
+    # inner-solver perturbation the LM accept gate absorbs — convergence
+    # parity asserted in tests and the multichip dryrun). Gated to larger
+    # M where the win is real and the one-hot fits comfortably.
+    use_onehot = (cg_segsum == "onehot"
+                  or (cg_segsum == "auto"
+                      and M >= 512 and chunk * T * M * 2 <= 1 << 30))
 
     def slice_p(start):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
@@ -511,10 +523,24 @@ def _lm_trial_cg(params, obs, cfg, lam, cg_iters: int, cg_tol: float = 1e-4,
 
         def mv_chunk(acc, xs):
             Wc_c, Vinv_c, ci_c = xs
-            xc = x[ci_c]                                     # (c, T, 8)
+            if use_onehot:
+                oh = (ci_c.reshape(-1, 1)
+                      == jnp.arange(M)[None, :]).astype(jnp.bfloat16)
+                xc = jax.lax.dot_general(
+                    oh, x.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).reshape(ci_c.shape + (NUM_CAM_PARAMS,))
+            else:
+                xc = x[ci_c]                                 # (c, T, 8)
             u = jnp.einsum("ptij,pti->pj", Wc_c, xc)         # B^T x
             yv = jnp.einsum("pij,pj->pi", Vinv_c, u)
             z = jnp.einsum("ptij,pj->pti", Wc_c, yv)
+            if use_onehot:
+                sub_c = jax.lax.dot_general(
+                    oh, z.reshape(-1, NUM_CAM_PARAMS).astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc + sub_c, None
             return acc + _segsum_cam(z, ci_c, M), None
 
         sub, _ = jax.lax.scan(mv_chunk, zeros_m8,
