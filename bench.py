@@ -659,6 +659,54 @@ def main():
             }
             log(f"real-texture: {real}")
 
+        # ---- SCALE section: a 200-image sparse run (BASELINE.md names 1k/10k
+        # configs; bench_scale.py runs the full 1k — this keeps a scale proof
+        # in the driver-recorded JSON at bounded wall clock). Executables are
+        # already warm from the headline section (same sift/matching configs).
+        scale = {}
+        n_scale = int(os.environ.get("BENCH_SCALE", "200"))
+        if n_scale > 0 and _have_budget("scale"):
+            log(f"scale section ({n_scale} images)")
+            scale_dir = os.path.join(workdir, "scale_images")
+            gt_s = synth.generate_dataset(scale_dir, num_images=n_scale,
+                                          width=480, height=360, num_blobs=500,
+                                          seed=7)
+            cfg_s = PipelineConfig()
+            cfg_s.image_path = scale_dir
+            cfg_s.store_path = os.path.join(workdir, "scale_store")
+            # deep-copy the sub-configs: sharing by reference would let any
+            # later mutation of the headline cfg leak into the scale run
+            import copy as _copy
+            for attr in ("sift", "matching", "mapper"):
+                setattr(cfg_s, attr, _copy.deepcopy(getattr(cfg, attr)))
+            times_s = {}
+            store_s = ArtifactStore(cfg_s.store_path)
+            stages.prepare_images(cfg_s, store_s)
+            for name, fn in [("extraction", stages.run_extraction),
+                             ("matching", stages.run_matching),
+                             ("mapping", stages.run_mapping),
+                             ("merge", stages.run_merge)]:
+                t0 = time.time()
+                out_s = fn(cfg_s, store_s)
+                times_s[name] = round(time.time() - t0, 1)
+            from scanner_colmap_tpu.models import geometry as geom_b
+            centers = np.stack([np.asarray(geom_b.np_projection_center(
+                gt_s["qvecs"][i], gt_s["tvecs"][i]))
+                for i in range(len(gt_s["tvecs"]))])
+            span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
+            ate_s = float(synth.evaluate_ate(out_s, gt_s))
+            total_s = sum(times_s.values())
+            scale = {
+                "num_images": n_scale,
+                "registered": int(out_s.num_registered),
+                "images_per_s": round(out_s.num_registered / max(total_s, 1e-9), 3),
+                "ate": round(ate_s, 4),
+                "ate_rel_span": round(ate_s / max(span, 1e-9), 5),
+                "mean_reproj_px": round(out_s.mean_reprojection_error(), 3),
+                "stage_s": times_s,
+            }
+            log(f"scale: {scale}")
+
         # ---- REFERENCE-CAPACITY fidelity (VERDICT r4 #6): the reference
         # operates COLMAP at stock capacities — 8192 features,
         # max_num_matches 32768 (colmap.proto:17), full-resolution
@@ -709,53 +757,6 @@ def main():
             }
             log(f"reference capacity: {real['reference_capacity']}")
 
-        # ---- SCALE section: a 200-image sparse run (BASELINE.md names 1k/10k
-        # configs; bench_scale.py runs the full 1k — this keeps a scale proof
-        # in the driver-recorded JSON at bounded wall clock). Executables are
-        # already warm from the headline section (same sift/matching configs).
-        scale = {}
-        n_scale = int(os.environ.get("BENCH_SCALE", "200"))
-        if n_scale > 0 and _have_budget("scale"):
-            log(f"scale section ({n_scale} images)")
-            scale_dir = os.path.join(workdir, "scale_images")
-            gt_s = synth.generate_dataset(scale_dir, num_images=n_scale,
-                                          width=480, height=360, num_blobs=500,
-                                          seed=7)
-            cfg_s = PipelineConfig()
-            cfg_s.image_path = scale_dir
-            cfg_s.store_path = os.path.join(workdir, "scale_store")
-            # deep-copy the sub-configs: sharing by reference would let any
-            # later mutation of the headline cfg leak into the scale run
-            import copy as _copy
-            for attr in ("sift", "matching", "mapper"):
-                setattr(cfg_s, attr, _copy.deepcopy(getattr(cfg, attr)))
-            times_s = {}
-            store_s = ArtifactStore(cfg_s.store_path)
-            stages.prepare_images(cfg_s, store_s)
-            for name, fn in [("extraction", stages.run_extraction),
-                             ("matching", stages.run_matching),
-                             ("mapping", stages.run_mapping),
-                             ("merge", stages.run_merge)]:
-                t0 = time.time()
-                out_s = fn(cfg_s, store_s)
-                times_s[name] = round(time.time() - t0, 1)
-            from scanner_colmap_tpu.models import geometry as geom_b
-            centers = np.stack([np.asarray(geom_b.np_projection_center(
-                gt_s["qvecs"][i], gt_s["tvecs"][i]))
-                for i in range(len(gt_s["tvecs"]))])
-            span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
-            ate_s = float(synth.evaluate_ate(out_s, gt_s))
-            total_s = sum(times_s.values())
-            scale = {
-                "num_images": n_scale,
-                "registered": int(out_s.num_registered),
-                "images_per_s": round(out_s.num_registered / max(total_s, 1e-9), 3),
-                "ate": round(ate_s, 4),
-                "ate_rel_span": round(ate_s / max(span, 1e-9), 5),
-                "mean_reproj_px": round(out_s.mean_reprojection_error(), 3),
-                "stage_s": times_s,
-            }
-            log(f"scale: {scale}")
 
     except Exception as e:  # keep the headline result
         log(f"optional bench section failed: {e!r}")

@@ -1551,10 +1551,17 @@ def import_colmap_db(cfg: PipelineConfig,
             if M is not None:
                 row[sl] = np.asarray(M).ravel()
         # rebuild pose/tri_angle from E: the db has no tri_angle column and
-        # (pre-3.7) possibly no pose; init-pair ranking needs both
+        # (pre-3.7) possibly no pose; init-pair ranking needs both. Any
+        # config with a usable E qualifies — planar/panoramic scenes
+        # classify as PLANAR_OR_PANORAMIC yet still carry E (the matcher
+        # estimates all three models), and their pairs register fine once
+        # tri_angle is present
         if (pose_fn is not None and g["E"] is not None
-                and g["config"] in (tv_import.CALIBRATED,
-                                    tv_import.MULTIPLE)
+                and np.linalg.norm(np.asarray(g["E"])) > 1e-8
+                and g["config"] not in (tv_import.UNDEFINED,
+                                        tv_import.DEGENERATE,
+                                        tv_import.UNCALIBRATED,
+                                        tv_import.WATERMARK)
                 and len(inl) >= 5):
             x1 = kp_by_id[i1][inl[:, 0], :2]
             x2 = kp_by_id[i2][inl[:, 1], :2]
