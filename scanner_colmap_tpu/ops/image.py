@@ -125,9 +125,14 @@ def load_for_extraction(path: str, max_image_size: int,
                         canvas: Tuple[int, int]):
     """Full ingest for one image: decode -> gray -> downscale -> pad.
 
-    Returns dict with canvas image (float32 (H,W)), valid (h, w), the
-    downscale factor (to map keypoints back to original pixels), original
-    (width, height), and EXIF focal in ORIGINAL pixels (or None).
+    Returns dict with canvas image (uint8 (H,W) — the reference's own
+    8-bit grayscale working format, FreeImage ConvertToGreyscale in
+    extraction_op.cc:86-92; consumers cast on device. Round-5: the
+    canvas used to travel as f32, and at 52 MB/s link bandwidth the
+    10k-collection upload alone was ~200 s — uint8 moves 4x less),
+    valid (h, w), the downscale factor (to map keypoints back to
+    original pixels), original (width, height), and EXIF focal in
+    ORIGINAL pixels (or None).
     """
     rgb = decode_image(path)
     oh, ow = rgb.shape[:2]
@@ -135,6 +140,8 @@ def load_for_extraction(path: str, max_image_size: int,
     gray, scale = resize_max(gray, max_image_size)
     h, w = gray.shape
     out = pad_to_canvas(gray, canvas)
+    # gray is [0, 1] luma: quantize to 8-bit levels for the transfer
+    out = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
     return {
         "image": out,
         "valid_hw": np.array([h, w], np.int32),

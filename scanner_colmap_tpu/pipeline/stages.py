@@ -70,6 +70,10 @@ import inspect
 def _extract_batch_fn(max_num_features, num_octaves, scales_per_octave,
                       init_sigma, peak_threshold, edge_threshold, upright):
     def run(imgs, vhws):
+        # canvases arrive as uint8 (4x less over the 52 MB/s link,
+        # round-5; the reference's own 8-bit grayscale working format) —
+        # restore the [0, 1] float scale on device
+        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
         feats = jax.lax.map(
             lambda args: sift_ops.extract(
                 args[0], args[1],
@@ -651,7 +655,10 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
     t0 = time.time()
     n_img = len(image_ids)
-    K_max = _round_up(max((len(d) for d in desc.values()), default=1), 128)
+    # max(..., 1): a collection whose every image extracted zero features
+    # must still produce an (empty) matching table, not divide by zero
+    K_max = _round_up(max(max((len(d) for d in desc.values()), default=1),
+                          1), 128)
 
     # pair schedule along the ordered axis (the reference's stencil,
     # feature_matching.py:43): linear offsets 1..overlap, or quadratic
@@ -1350,8 +1357,8 @@ def run_undistort(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         scaled[:n_f + 2] *= s  # focal(s) + principal point scale together
         new_p = ud_ops.undistorted_pinhole_params(cam.model_id, scaled)
         h, w = int(item["valid_hw"][0]), int(item["valid_hw"][1])
-        batch.append((item["image"].astype(np.float32), cam.model_id,
-                      scaled, new_p))
+        batch.append((item["image"].astype(np.float32) / 255.0,
+                      cam.model_id, scaled, new_p))
         meta_rows.append((iid, h, w))
         # pinhole camera in the exported model (per image: undistortion
         # resolution may differ per image)
@@ -1419,7 +1426,7 @@ def run_prepare_patch_match(cfg: PipelineConfig,
         rows["K"].append(K.astype(np.float32).ravel())
         rows["width"].append(w)
         rows["height"].append(h)
-        rows["bitmap"].append(item["image"].astype(np.float32))
+        rows["bitmap"].append(item["image"].astype(np.float32) / 255.0)
         rows["depth_min"].append(dmin)
         rows["depth_max"].append(dmax)
     store.write_table("prepare_patch_match", {
