@@ -183,7 +183,8 @@ def match_pairs_pool(pool, valid, ai, bi, max_ratio: float = 0.8,
     match_descriptors at the same precision — same similarity operands,
     same reduction formulation — so banked and resident schedules of the
     same collection produce the same matching table."""
-    def per_pair(a, b):
+    def per_pair(args):
+        a, b = args
         d1, d2 = pool[a], pool[b]
         v1, v2 = valid[a], valid[b]
         if precision == "bf16":
@@ -197,7 +198,19 @@ def match_pairs_pool(pool, valid, ai, bi, max_ratio: float = 0.8,
                                         precision=precision)
         return jnp.where(ok, idx, -1).astype(jnp.int32)
 
-    return jax.vmap(per_pair)(ai, bi)
+    # vmap width scaled to the capacity: XLA materializes the batched
+    # (C, K, K) similarity at large K (measured: 512 lanes at K=8192
+    # asked for a 64 GB buffer), so cap the parallel chunk at ~16 K=2048
+    # pairs' worth and run chunks sequentially under lax.map
+    NP = ai.shape[0]
+    K = pool.shape[1]
+    inner = max(1, min(16, (16 * 2048 * 2048) // max(K * K, 1), NP))
+    while NP % inner:           # lax.map needs an exact chunking
+        inner -= 1
+    xs = (ai.reshape(NP // inner, inner), bi.reshape(NP // inner, inner))
+    ys = jax.lax.map(lambda c: jax.vmap(lambda a, b: per_pair((a, b)))(*c),
+                     xs)
+    return ys.reshape(NP, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("cross_check", "precision"))
