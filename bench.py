@@ -20,6 +20,14 @@ between windows, so the headline sparse pass and the BA/dense timed
 sections each run BENCH_TRIALS (default 3) times; the JSON reports
 median plus {min, max, n_trials} per metric and flags >25% regressions
 against the previous round's recorded medians.
+
+Output contract (round 5): the FINAL stdout line is a <= 500-char
+compact headline (the driver tail-captures ~2 kB and parses the last
+line — round 4's single ~4 kB line outgrew that and lost the round's
+headline); the full result prints on the line above and is written to
+BENCH_LOCAL.json. The regression gate walks back to the newest round
+that recorded each metric, scans truncated tails, and checks sustained
+BA against the best round ever recorded.
 """
 
 import glob
@@ -680,12 +688,20 @@ def main():
             for attr in ("sift", "matching", "mapper"):
                 setattr(cfg_s, attr, _copy.deepcopy(getattr(cfg, attr)))
             times_s = {}
+            cold_s = {}
             store_s = ArtifactStore(cfg_s.store_path)
             stages.prepare_images(cfg_s, store_s)
+            # warmup + steady-state like every other section (round-5):
+            # the single-pass timing mixed one-time costs (executable
+            # loads, per-signature compiles) into the per-collection
+            # number — a deployment amortizes those across collections
             for name, fn in [("extraction", stages.run_extraction),
                              ("matching", stages.run_matching),
                              ("mapping", stages.run_mapping),
                              ("merge", stages.run_merge)]:
+                t0 = time.time()
+                fn(cfg_s, store_s)
+                cold_s[name] = round(time.time() - t0, 1)
                 t0 = time.time()
                 out_s = fn(cfg_s, store_s)
                 times_s[name] = round(time.time() - t0, 1)
@@ -704,6 +720,7 @@ def main():
                 "ate_rel_span": round(ate_s / max(span, 1e-9), 5),
                 "mean_reproj_px": round(out_s.mean_reprojection_error(), 3),
                 "stage_s": times_s,
+                "cold_stage_s": cold_s,
             }
             log(f"scale: {scale}")
 

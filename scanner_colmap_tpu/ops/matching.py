@@ -170,11 +170,35 @@ def normalize_pool(desc_pool: jax.Array) -> jax.Array:
     return (f / n).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("max_ratio", "max_distance",
-                                             "cross_check", "precision"))
+@functools.lru_cache(maxsize=8)
+def _match_pairs_pool_fn(max_ratio, max_distance, cross_check, precision):
+    """Disk-backed AOT-cached pool matcher (persistent_jit): collection
+    sizes are bucketed by the caller (stages.upload_pool rounds N up),
+    so a new process or a new collection size within a bucket reuses the
+    compiled executable instead of paying a fresh remote compile (the
+    round-5 bench measured ~3-7 s per new (N, K) signature)."""
+    from scanner_colmap_tpu.utils.jit_cache import persistent_jit
+
+    def run(pool, valid, ai, bi):
+        return _match_pairs_pool_impl(pool, valid, ai, bi, max_ratio,
+                                      max_distance, cross_check, precision)
+    return persistent_jit(
+        run, salt=(max_ratio, max_distance, cross_check, precision),
+        fingerprint_modules=("scanner_colmap_tpu.ops.matching",))
+
+
 def match_pairs_pool(pool, valid, ai, bi, max_ratio: float = 0.8,
                      max_distance: float = 0.7, cross_check: bool = True,
                      precision: str = "bf16"):
+    return _match_pairs_pool_fn(float(max_ratio), float(max_distance),
+                                bool(cross_check), precision)(
+        pool, valid, ai, bi)
+
+
+def _match_pairs_pool_impl(pool, valid, ai, bi, max_ratio: float = 0.8,
+                           max_distance: float = 0.7,
+                           cross_check: bool = True,
+                           precision: str = "bf16"):
     """Match scheduled pairs (ai[i], bi[i]) from a resident pool.
 
     pool: (N_img, K, 128) bf16 normalized (normalize_pool); valid:

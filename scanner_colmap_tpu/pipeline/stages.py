@@ -705,8 +705,16 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         return Db, Vb
 
     def upload_pool(chunk_imgs: int = 512):
-        """One-time chunked u8 upload + on-device normalize to bf16."""
-        Vb = np.zeros((n_img, K_max), bool)
+        """One-time chunked u8 upload + on-device normalize to bf16.
+
+        The pool's image axis is BUCKETED (rounded up to 256) so the
+        matcher's jit signature — and its disk-cached AOT executable —
+        is shared across nearby collection sizes instead of recompiling
+        per exact N (round-5 bench: ~3-7 s per fresh signature on the
+        remote compiler). Pad rows are zero and unreachable (ai/bi index
+        only real rows)."""
+        n_pool = _round_up(max(n_img, 1), 256)
+        Vb = np.zeros((n_pool, K_max), bool)
         blocks = []
         for s in range(0, n_img, chunk_imgs):
             e = min(s + chunk_imgs, n_img)
@@ -716,6 +724,9 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 blk[r - s, :len(d)] = d
                 Vb[r, :len(d)] = True
             blocks.append(jnp.asarray(blk))
+        if n_pool > n_img:   # bucket padding allocates ON DEVICE — no upload
+            blocks.append(jnp.zeros((n_pool - n_img, K_max, 128),
+                                    bank_dtype))
         raw = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
         del blocks
         pool = matching_ops.normalize_pool(raw)
