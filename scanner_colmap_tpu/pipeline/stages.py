@@ -686,10 +686,17 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
     # over the ~52 MB/s link instead of once per bank (at 10k images the
     # f32 bank re-upload alone was ~11 GB = most of the 194 s stage);
     # "banked" streams as before. Same matching table either way.
-    pool_bytes = n_img * K_max * 128 * 3     # u8 + bf16 normalized copy
+    # The resident pool is normalized to bf16, which is exactly the
+    # default precision's matmul operand; an explicit precision="f32"
+    # run must keep its exact f32 normalization, so it takes the banked
+    # plan. Budget factor 4: u8 pool + the concatenate's transient u8
+    # copy + the bf16 normalized copy, on the BUCKETED image axis.
+    n_pool_rows = _round_up(max(n_img, 1), 256)
+    pool_bytes = n_pool_rows * K_max * 128 * 4
     resident = (m.execution == "resident"
                 or (m.execution == "auto"
-                    and pool_bytes <= m.resident_pool_mb << 20))
+                    and pool_bytes <= m.resident_pool_mb << 20)) \
+        and m.precision == "bf16"
 
     # banks carry the descriptors' NATIVE dtype (uint8 COLMAP wire format):
     # the device normalizes either way, and u8 moves 4x fewer bytes
@@ -753,12 +760,12 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                        ("on" if lc_on else "off")}
     probe_thread = None
     probe_out: Dict = {}
-    if lc_auto and n_img <= sep + 2:
-        # provable skip: no pair can pass the |a - b| > sep separation
-        # gate in a collection this small (explicit loop_closure=True
-        # still runs the full prepass)
+    if lc_auto and n_img <= sep + 1:
+        # provable skip: the max offset is n_img - 1 <= sep, so no pair
+        # can pass the |a - b| > sep separation gate (explicit
+        # loop_closure=True still runs the full prepass)
         lc_auto = lc_on = False
-        loop_meta["skipped"] = f"n_img {n_img} <= sep+2 ({sep + 2})"
+        loop_meta["skipped"] = f"n_img {n_img} <= sep+1 ({sep + 1})"
     elif lc_auto and n_img > 2:
 
         def _probe_worker():
@@ -785,14 +792,24 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 cand.append((a, b, sel, idx_all[n]))
 
     pool = valid_pool = None
-    pending = None
-    if resident:
-        pool, valid_pool = upload_pool()
+
+    def match_via_pool(pairs_list):
+        """Chunked pooled matching with async download pipelining.
+
+        Chunk sizes bucket to powers of two up to resident_pair_chunk,
+        so padding waste is bounded at 2x (a fixed-size chunk wasted up
+        to NPC-1 full KxK matmuls on small collections) while the AOT
+        signatures stay few; shared by the window schedule and the
+        loop-closure candidates."""
         NPC = max(int(m.resident_pair_chunk), 8)
-        for c0 in range(0, len(sched), NPC):
-            chunk = sched[c0:c0 + NPC]
-            ai = np.zeros(NPC, np.int32)
-            bi = np.zeros(NPC, np.int32)
+        pend = None
+        for c0 in range(0, len(pairs_list), NPC):
+            chunk = pairs_list[c0:c0 + NPC]
+            npad = 8
+            while npad < len(chunk):
+                npad *= 2
+            ai = np.zeros(npad, np.int32)
+            bi = np.zeros(npad, np.int32)
             for n, (a, b) in enumerate(chunk):
                 ai[n], bi[n] = a, b
             idx_dev = matching_ops.match_pairs_pool(
@@ -800,9 +817,16 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
                 max_ratio=m.max_ratio, max_distance=m.max_distance,
                 cross_check=m.cross_check, precision=m.precision)
             _copy_to_host_async(idx_dev)
-            if pending is not None:
-                drain_bank(*pending)
-            pending = (chunk, idx_dev)
+            if pend is not None:
+                drain_bank(*pend)
+            pend = (chunk, idx_dev)
+        if pend is not None:
+            drain_bank(*pend)
+
+    pending = None
+    if resident:
+        pool, valid_pool = upload_pool()
+        match_via_pool(sched)
     else:
         match_all = _match_all_fn(m.max_ratio, m.max_distance, m.cross_check,
                                   m.precision)
@@ -894,23 +918,8 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
 
         if resident:
             # the pool holds every image: loop candidates are just more
-            # (a, b) chunks through the same resident kernel
-            NPC = max(int(m.resident_pair_chunk), 8)
-            lp = sorted(loop_pairs)
-            for c0 in range(0, len(lp), NPC):
-                chunk = lp[c0:c0 + NPC]
-                ai = np.zeros(NPC, np.int32)
-                bi = np.zeros(NPC, np.int32)
-                for n, (a, b) in enumerate(chunk):
-                    ai[n], bi[n] = a, b
-                idx_all = np.asarray(matching_ops.match_pairs_pool(
-                    pool, valid_pool, jnp.asarray(ai), jnp.asarray(bi),
-                    max_ratio=m.max_ratio, max_distance=m.max_distance,
-                    cross_check=m.cross_check, precision=m.precision))
-                for n, (a, b) in enumerate(chunk):
-                    sel = np.nonzero(idx_all[n] >= 0)[0]
-                    if len(sel) >= m.min_num_inliers:
-                        cand.append((a, b, sel, idx_all[n]))
+            # (a, b) chunks through the same pipelined pooled matcher
+            match_via_pool(sorted(loop_pairs))
         else:
             match_all = _match_all_fn(m.max_ratio, m.max_distance,
                                       m.cross_check, m.precision)
@@ -1517,7 +1526,12 @@ def import_colmap_db(cfg: PipelineConfig,
         cam_rows.append(row)
         widths.append(cam["width"])
         heights.append(cam["height"])
-        names.append(im["name"].encode())  # store list columns are bytes
+        # frames.path is opened directly by the dense stages
+        # (run_undistort/run_prepare_patch_match reload original pixels):
+        # join the db's bare image name onto image_path like
+        # prepare_images does. Store list columns are bytes.
+        names.append(os.path.join(cfg.image_path or "",
+                                  im["name"]).encode())
 
     store.write_table("frames", {
         "image_id": np.asarray(order, np.int64),
@@ -1630,7 +1644,18 @@ def export_colmap_db(cfg: PipelineConfig,
     store = store or ArtifactStore(cfg.store_path)
     image_ids, kp, desc, cams = _load_extraction(store)
     frames = store.read_table("frames", columns=["image_id", "path"])
-    name_of = {int(i): (p.decode() if isinstance(p, bytes) else str(p))
+
+    def _db_name(p):
+        # COLMAP dbs store image names relative to the image dir; our
+        # frames.path is absolute (prepare_images joins image_path)
+        p = p.decode() if isinstance(p, bytes) else str(p)
+        base = cfg.image_path or ""
+        if base and os.path.abspath(p).startswith(
+                os.path.abspath(base) + os.sep):
+            return os.path.relpath(p, base)
+        return os.path.basename(p)
+
+    name_of = {int(i): _db_name(p)
                for i, p in zip(frames["image_id"], frames["path"])}
     cameras, images, keypoints, descriptors = {}, {}, {}, {}
     for iid in image_ids:

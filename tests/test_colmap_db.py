@@ -161,6 +161,13 @@ def test_export_import_replay(matched_store, tmp_path_factory):
     ate = synth.evaluate_ate(model, gt)
     assert float(ate) < 0.05, float(ate)
 
+    # the dense leg of the replay promise: the import must join the
+    # db's bare image names onto image_path so the MVS prep can reload
+    # original pixels from frames.path
+    cfg2.patch_match.max_image_size = 96
+    stages.run_prepare_patch_match(cfg2, store2)
+    assert store2.num_rows("prepare_patch_match") == 8
+
 
 @pytest.mark.slow
 def test_import_rebuilds_pose_when_absent(matched_store, tmp_path_factory):

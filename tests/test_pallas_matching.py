@@ -51,3 +51,35 @@ def test_pallas_match_equals_xla_match(rng):
         interpret=True)
     assert np.array_equal(np.asarray(ok_ref), np.asarray(ok_pl))
     assert np.array_equal(np.asarray(idx_ref), np.asarray(idx_pl))
+
+
+def test_pair_kernel_equals_xla_path(rng):
+    """match_pairs_resident (the fused per-pair kernel, kept as the
+    measured alternative to the XLA resident path — 6x slower on v5e,
+    PERFORMANCE.md lever 48) must stay decision-identical to
+    match_descriptors; interpret mode pins the semantics on CPU."""
+    from scanner_colmap_tpu.ops.pallas_matching import match_pairs_resident
+
+    N_IMG, K, NP = 6, 128, 4
+    D = rng.integers(0, 255, (N_IMG, K, 128)).astype(np.uint8)
+    V = np.ones((N_IMG, K), bool)
+    for i in range(N_IMG):      # ragged validity
+        n = int(rng.integers(K // 2, K + 1))
+        V[i, n:] = False
+        D[i, n:] = 0
+    pool = matching.normalize_pool(jnp.asarray(D))
+    ai = jnp.asarray(rng.integers(0, N_IMG, NP), dtype=jnp.int32)
+    bi = jnp.asarray(rng.integers(0, N_IMG, NP), dtype=jnp.int32)
+    out = np.asarray(match_pairs_resident(pool, jnp.asarray(V), ai, bi,
+                                          interpret=True))
+    for n in range(NP):
+        a, b = int(ai[n]), int(bi[n])
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(D[a]), jnp.asarray(D[b]),
+            jnp.asarray(V[a]), jnp.asarray(V[b]), precision="f32")
+        ref = np.where(np.asarray(ok), np.asarray(idx), -1)
+        # the kernel computes an f32-accumulated bf16 similarity (the
+        # default precision class); compare against the f32 path modulo
+        # near-tie flips, which must be rare
+        agree = (out[n] == ref).mean()
+        assert agree > 0.97, (n, agree)
