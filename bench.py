@@ -739,6 +739,9 @@ def main():
                 cap_dir, num_images=10, width=2048, height=1536,
                 focal=1920.0, seed=1, num_bumps=2, exposure_jitter=0.2,
                 noise_std=2.0)
+            log("reference capacity: rendered; warmup pass (2048px "
+                "compiles — the supervisor watches output, so narrate "
+                "around the long silent stretches)")
             cfg_c = PipelineConfig()
             cfg_c.image_path = cap_dir
             cfg_c.store_path = os.path.join(workdir, "cap_store")
@@ -761,6 +764,7 @@ def main():
                 return mm, time.time() - t0
 
             cap_sparse()                       # warmup (2048px compiles)
+            log("reference capacity: warm; timed pass")
             model_c, t_cap = cap_sparse()      # steady state
             real["reference_capacity"] = {
                 "registered": int(model_c.num_registered),
