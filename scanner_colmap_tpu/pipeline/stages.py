@@ -851,10 +851,11 @@ def run_matching(cfg: PipelineConfig, store: Optional[ArtifactStore] = None,
         drain_bank(*pending)
 
     # ---- phase 2: loop-closure candidates (EXCEEDS reference: loop
-    # detection unsupported there, colmap.proto:56-57). Pooled-SIFT global
-    # descriptors rank non-window pairs; candidates are matched through
-    # mini-banks with the SAME compiled kernel and fall into the same
-    # verification gate below — a false candidate costs one RANSAC slot.
+    # detection unsupported there, colmap.proto:56-57). BoW global
+    # descriptors rank non-window pairs; candidates run through the same
+    # matcher as the window schedule (resident pool, or mini-banks on the
+    # banked plan) and fall into the same verification gate below — a
+    # false candidate costs one RANSAC slot.
     n_loop_pairs = 0
     Hw = None
     if (lc_on or lc_auto) and n_img > 2:

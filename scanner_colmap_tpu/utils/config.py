@@ -224,11 +224,16 @@ class MapperConfig:
                                         # per-lane working set multiplies);
                                         # 8 bounds it
     device_batch_clusters: bool = False  # solve ALL clusters as ONE vmapped
-                                        # program. MEASURED SLOWER (4.0 s vs
-                                        # 0.9 s warm, 16 images / 3 clusters):
-                                        # vmap lowers every lax.cond to
-                                        # select, so the skip-converged-BA
-                                        # and skip-inactive-step branches all
+                                        # program. MEASURED SLOWER at BOTH
+                                        # scales: 4.0 s vs 0.9 s warm (16
+                                        # images / 3 clusters) and >=3x at
+                                        # 10k/1250 clusters (round-5 A/B:
+                                        # single-program 908 s; batched not
+                                        # finished at 44 min when the
+                                        # harness cut it): vmap lowers every
+                                        # lax.cond to select, so the
+                                        # skip-converged-BA and
+                                        # skip-inactive-step branches all
                                         # execute for every lane. Async
                                         # per-cluster dispatch already
                                         # pipelines clusters on device; keep
